@@ -1,13 +1,699 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.text
+import graft.operators._
+import graft.plans.Pipeline
+
+/**
+ * Driver contract (SURVEY.md §7): one entry per implemented operator from
+ * SURVEY.md §2, each runnable over the read-only testdata parquet at `dir`,
+ * with a DuckDB-equivalent oracle in `oracleSql` where the op is
+ * SQL-expressible (non-SQL ops — the mapPartitions scorer, the iterative
+ * extension loop, the e2e pipeline — get rows-only checks).
+ *
+ * Cross-engine determinism rules used throughout (so value hashes match):
+ * integer/fixed-point arithmetic for rankings, md5 for all hash material,
+ * LCG (x*1103515245+12345 mod 2^31) instead of rand(seed) in oracle-checked
+ * sampling ops, explicit total-order tie-breaks on every window, and
+ * round(_, 6) on any float that crosses an engine boundary.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Portable seeded pseudo-random column: LCG over a bigint key. */
+  private def lcg(c: Column): Column =
+    pmod(c * lit(1103515245L) + lit(12345L), lit(2147483648L))
+
+  // ---------------------------------------------------------------------
+  // Flagship: end-to-end KG construction on the tiny synthetic fixture
+  // ---------------------------------------------------------------------
+  def entry(spark: SparkSession): DataFrame = Pipeline.flagship(spark)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.2 projections / scalar functions -----------------------------
+    "q01_normalize" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        text.normalizeCol(col("p_name")).as("norm_name"))),
+
+    "q12_clamp" -> ((s, dir) =>
+      score.clamp(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_discount").as("score")))
+        .distinct()),
+
+    "q11_identity_removal" -> ((s, dir) =>
+      evalmod.dropIdentity(
+        t(s, dir, "lineitem").select(
+          col("l_suppkey").as("entity1"),
+          (pmod(col("l_partkey"), lit(10)) + lit(1)).as("entity2")))
+        .distinct()),
+
+    "q13_nes_levenshtein" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val pairs = p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") =!= col("b.p_partkey"))
+      // NES = max over label pairs of 1 - lev/max(len) (nes_map.py:73-77)
+      pairs
+        .withColumn("nes", lit(1.0) -
+          levenshtein(col("a.p_name"), col("b.p_name")) /
+            greatest(length(col("a.p_name")), length(col("b.p_name"))))
+        .groupBy(col("a.p_partkey").as("p_partkey"))
+        .agg(round(max(col("nes")), 6).as("best_nes"))
+    }),
+
+    // --- §2.1/§2.3/§2.4 index + candidate generation ---------------------
+    "q02_postings" -> ((s, dir) =>
+      index.postingsFromText(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q03_docfreq" -> ((s, dir) =>
+      index.docFreq(index.postingsFromText(t(s, dir, "documents"), "doc_id", "text"))),
+
+    "q04_idf_candidates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val posting = index.postingsFromText(docs, "doc_id", "text")
+      val q = posting.filter(col("class_id") < 20)
+        .select(col("class_id").as("query_id"), col("token"))
+      index.idfCandidatesFixedPoint(q, posting, docs.count(), 10)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // --- §2.5 windows / top-k --------------------------------------------
+    "q05_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    }),
+
+    "q07_nbest" -> ((s, dir) =>
+      align.nBest(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("from_id"), col("l_partkey").as("to_id"),
+          col("l_extendedprice").as("score")).distinct(),
+        1)),
+
+    "q16_turn_order" -> ((s, dir) => {
+      // the graft per-turn ordering invariant: windows over (conv, turn)
+      // — here (user_id, ts, event_id) on the events table
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("turn_idx", row_number().over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .drop("ts")
+    }),
+
+    // --- string-match short-circuit with candidate abandonment (§4) ------
+    "q06_stringmatch" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_partkey") <= 1000)
+      val b = p.filter(col("p_partkey") > 1000)
+      val cands = a.select(col("p_partkey").as("from_id"), col("p_brand"))
+        .join(b.select(col("p_partkey").as("to_id"), col("p_brand")), "p_brand")
+        .select("from_id", "to_id")
+      val (matched, remaining) = score.stringMatchSplit(cands,
+        a.select(col("p_partkey").as("from_id"), col("p_type").as("label")),
+        b.select(col("p_partkey").as("to_id"), col("p_type").as("label")))
+      matched.select(col("from_id"), col("to_id"), lit("matched").as("branch"))
+        .unionByName(remaining.select(col("from_id"), col("to_id"), lit("remaining").as("branch")))
+    }),
+
+    // --- §2.6 set operations ----------------------------------------------
+    "q08_union_dedup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val m1 = o.filter(col("o_orderstatus") === "O").select(
+        col("o_custkey").as("entity1"), col("o_orderkey").as("entity2"),
+        col("o_totalprice").as("value"))
+      val m2 = o.filter(col("o_totalprice") > 100000.0).select(
+        col("o_custkey").as("entity1"), col("o_orderkey").as("entity2"),
+        col("o_totalprice").as("value"))
+      align.combine(m1, m2)
+    }),
+
+    // --- §2.10 evaluation ---------------------------------------------------
+    "q09_eval_prf" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pre = li.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("entity1"), col("l_partkey").as("entity2"))
+      val ref = li.filter(col("l_discount") > 0.08)
+        .select(col("l_orderkey").as("entity1"), col("l_partkey").as("entity2"))
+      val ign = li.filter(col("l_tax") > 0.07)
+        .select(col("l_orderkey").as("entity1"), col("l_partkey").as("entity2"))
+      evalmod.prfReport(pre, ref, ign)
+    }),
+
+    "q10_threshold_sweep" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pre = li.select(col("l_orderkey").as("entity1"),
+        col("l_partkey").as("entity2"), col("l_discount").as("value"))
+      val ref = li.filter(col("l_discount") > 0.08)
+        .select(col("l_orderkey").as("entity1"), col("l_partkey").as("entity2"))
+      val ign = li.filter(col("l_tax") > 0.07)
+        .select(col("l_orderkey").as("entity1"), col("l_partkey").as("entity2"))
+      evalmod.thresholdSweep(s, pre, ref, ign, Seq(0.0, 0.02, 0.05, 0.07, 0.09, 0.1))
+    }),
+
+    // --- §2.7 corpus construction & sampling -------------------------------
+    "q32_intra_synonyms" -> ((s, dir) => {
+      val classes = t(s, dir, "part").groupBy(col("p_brand").as("class_iri"))
+        .agg(sort_array(collect_set(col("p_name"))).as("labels"))
+      corpus.intraSynonyms(classes).select("sent1", "sent2", "label", "kind").distinct()
+    }),
+
+    "q14_siblings" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.as("a").join(n.as("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+            col("a.n_name") < col("b.n_name"))
+        .select(col("a.n_regionkey").as("n_regionkey"),
+          col("a.n_name").as("sent1"), col("b.n_name").as("sent2"))
+    }),
+
+    "q15_softneg_sample" -> ((s, dir) => {
+      // seeded negative sampling via the portable LCG: partner index
+      // (idx + 1 + (r mod (D-1))) mod D guarantees partner != self
+      // (general_utils.py:26-30 semantics)
+      val p = t(s, dir, "part")
+      val d = p.count()
+      val w = Window.orderBy("p_partkey")
+      val idx = p.select(col("p_partkey"), col("p_brand"), col("p_name"))
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+      val partner = idx.select(col("idx").as("o_idx"),
+        col("p_name").as("sent2"), col("p_brand").as("o_brand"))
+      val drawn = idx
+        .withColumn("o_idx",
+          pmod(col("idx") + lit(1L) + pmod(lcg(col("p_partkey")), lit(d - 1)), lit(d)))
+        .join(partner, "o_idx")
+        .select(col("p_name").as("sent1"), col("sent2"), col("p_brand"), col("o_brand"))
+      // negative_sample_check: reject same-class (here same-brand) partners
+      drawn.filter(col("p_brand") =!= col("o_brand")).select("sent1", "sent2")
+    }),
+
+    "q17_splits" -> ((s, dir) =>
+      // train/val/test 0.2/0.1/0.7 split, LCG-keyed (cross_onto.py:36-66)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        when(lcg(col("o_orderkey")) < 429496729L, "train")
+          .when(lcg(col("o_orderkey")) < 644245094L, "val")
+          .otherwise("test").as("split"))),
+
+    "q18_downsample" -> ((s, dir) => {
+      // seeded downsample: keep N rows by (LCG, id) order
+      // (cross_onto.py:153-174 negative-rate downsampling shape)
+      val w = Window.orderBy(col("u").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(col("o_orderkey"), lcg(col("o_orderkey")).as("u"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 100)
+        .select("o_orderkey", "rnk")
+    }),
+
+    // --- dedup family -------------------------------------------------------
+    "q19_dedup_exact" -> ((s, dir) =>
+      dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q20_shingles" -> ((s, dir) =>
+      dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 2)),
+
+    "q21_minhash_sig" -> ((s, dir) =>
+      dedup.minhashLong(t(s, dir, "documents"), "doc_id", "text", 2, 8)),
+
+    "q22_lsh_pairs" -> ((s, dir) =>
+      dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text", 2, 8, 2)),
+
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 2, 0.2, 500)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    "q24_simhash" -> ((s, dir) =>
+      dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q27_embed_neardup" -> ((s, dir) =>
+      dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    // --- similarity search --------------------------------------------------
+    "q25_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "q26_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select((col("vec_id") / 100).cast("long").as("cell"), col("embedding").as("cvec"))
+      similarity.ivfTopK(e.filter(col("vec_id") < 10), e, centroids,
+          "vec_id", "embedding", 3, 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // --- text analysis -------------------------------------------------------
+    "q28_lang_quality" -> ((s, dir) => {
+      val toks = text.wordTokensCol(col("text"))
+      def hits(words: Seq[String]): Column =
+        size(filter(toks, x => x.isin(words.map(lit(_)): _*)))
+      val en = hits(Seq("the", "and", "of", "to", "is", "with", "that"))
+      val de = hits(Seq("der", "die", "das", "und", "ist", "mit", "ein"))
+      val fr = hits(Seq("le", "la", "les", "et", "est", "avec", "une"))
+      val es = hits(Seq("el", "la", "los", "y", "es", "con", "una"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+        when(greatest(en, de, fr, es) === 0, "und")
+          .when(de >= en && de >= es && de >= fr, "de")
+          .when(en >= es && en >= fr, "en")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("pred_lang"),
+        size(toks).as("n_words"),
+        size(filter(toks, x => x.isin(text.stopWords.toSeq.map(lit(_)): _*))).as("n_stop"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / length(col("text")), 6)
+          .as("alpha_ratio"))
+    }),
+
+    "q29_token_count" -> ((s, dir) => {
+      // BPE-ish deterministic token count: 1 piece for words <= 4 chars,
+      // 1 + ceil((len-4)/4) pieces otherwise (text.subwordTokens closed form)
+      val toks = text.wordTokensCol(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, w) =>
+          acc + when(length(w) <= 4, 1L)
+            .otherwise(lit(1L) + ceil((length(w) - 4) / 4.0).cast("long"))).as("n_tokens"))
+    }),
+
+    "q30_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(text.normalizeCol(col("text"))).as("fp"))),
+
+    // --- §2.8 scorer (mapPartitions, broadcast params) ----------------------
+    "q31_scorer_pairs" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("from_id"), col("b.p_partkey").as("to_id"),
+          col("a.p_name").as("l1"), col("b.p_name").as("l2"))
+      score.scoreLabelPairs(s, pairs)
+        .withColumn("pair_score", round(col("pair_score"), 6))
+    }),
+
+    // --- multimodal plumbing -------------------------------------------------
+    "q33_media_meta" -> ((s, dir) =>
+      multimodal.mediaMeta(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload")),
+
+    // --- event-time windowed agg (streaming-shaped, batch-checked) ----------
+    "q34_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))),
+
+    // --- §2.9 canonicalization / repair -------------------------------------
+    "q35_connected_components" -> ((s, dir) => {
+      val e = t(s, dir, "nation").join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("entity1"), col("r_name").as("entity2"))
+      canonical.connectedComponents(s, e, 5)
+    }),
+
+    "q36_repair_onetoone" -> ((s, dir) =>
+      repair.oneToOne(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("string").as("entity1"),
+          col("l_partkey").cast("string").as("entity2"),
+          col("l_extendedprice").as("value")).distinct())),
+
+    // --- classic relational headliners (pushdown/agg/join sanity) -----------
+    "q37_agg_baseline" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"),
+          count(lit(1)).as("n"))),
+
+    "q38_join_groupby" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    // --- non-SQL-expressible ops (rows-only checks) --------------------------
+    "q39_extend_loop" -> ((s, dir) => {
+      val e = t(s, dir, "nation").join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("child_iri"), col("r_name").as("parent_iri"))
+      val labels = t(s, dir, "nation").select(col("n_name").as("id"), lower(col("n_name")).as("label"))
+        .unionByName(t(s, dir, "region").select(col("r_name").as("id"), lower(col("r_name")).as("label")))
+      val seeds = t(s, dir, "nation").select(
+        col("n_name").as("entity1"), col("n_name").as("entity2"), lit(1.0).as("value"))
+      extend.extendMappings(s, seeds, e, e, labels, labels, 0.9, 3)
+    }),
+
+    "q40_pipeline_e2e" -> ((s, dir) => Pipeline.flagship(s))
+  )
+
+  def oracleSql: Map[String, String] = {
+    // shared SQL fragments
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    val postingCte =
+      s"""posting AS (
+         |  SELECT DISTINCT doc_id AS class_id, token FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents) u
+         |  WHERE length(token) > 0)""".stripMargin
+    val shingleCte =
+      s"""sh AS (
+         |  SELECT DISTINCT doc_id AS id, array_to_string(tt[g:g+1], ' ') AS shingle
+         |  FROM (SELECT doc_id, $toks AS tt FROM documents) d,
+         |       unnest(generate_series(1, len(tt)-1)) AS u(g))""".stripMargin
+    val lcgSql = (k: String) => s"(($k * 1103515245 + 12345) % 2147483648)"
+    val prfSets =
+      """pre0 AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_quantity > 45),
+        |pre AS (SELECT * FROM pre0 WHERE entity1 <> entity2),
+        |ref AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_discount > 0.08),
+        |ign AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_tax > 0.07),
+        |prek AS (SELECT * FROM pre ANTI JOIN ign USING (entity1, entity2)),
+        |refk AS (SELECT * FROM ref ANTI JOIN ign USING (entity1, entity2))""".stripMargin
+
+    Map(
+      "q01_normalize" ->
+        """SELECT p_partkey, trim(regexp_replace(lower(replace(p_name, '_', ' ')), '\s+', ' ', 'g')) AS norm_name FROM part""",
+
+      "q12_clamp" ->
+        """SELECT DISTINCT l_orderkey, l_linenumber, CASE WHEN l_discount <= 0.01 THEN 0.0 ELSE l_discount END AS score FROM lineitem""",
+
+      "q11_identity_removal" ->
+        """SELECT DISTINCT l_suppkey AS entity1, (l_partkey % 10) + 1 AS entity2 FROM lineitem WHERE l_suppkey <> (l_partkey % 10) + 1""",
+
+      "q13_nes_levenshtein" ->
+        """SELECT a.p_partkey, round(max(1.0 - levenshtein(a.p_name, b.p_name) / greatest(length(a.p_name), length(b.p_name))), 6) AS best_nes
+          |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+          |GROUP BY a.p_partkey""".stripMargin,
+
+      "q02_postings" ->
+        s"WITH $postingCte SELECT class_id, token FROM posting",
+
+      "q03_docfreq" ->
+        s"WITH $postingCte SELECT token, count(*) AS df FROM posting GROUP BY token",
+
+      "q04_idf_candidates" ->
+        s"""WITH $postingCte,
+           |q AS (SELECT class_id AS query_id, token FROM posting WHERE class_id < 20),
+           |df AS (SELECT token, count(*) AS df FROM posting GROUP BY token),
+           |d AS (SELECT count(*) AS d FROM documents),
+           |w AS (SELECT p.token, p.class_id, CAST(floor(1000000 * d.d / df.df) AS BIGINT) AS w
+           |      FROM posting p JOIN df USING (token) CROSS JOIN d),
+           |summed AS (SELECT q.query_id, w.class_id, SUM(w.w) AS idf_w FROM q JOIN w USING (token) GROUP BY 1, 2),
+           |ranked AS (SELECT query_id, class_id, idf_w,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idf_w DESC, class_id ASC) AS rnk FROM summed)
+           |SELECT query_id, class_id, idf_w, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+
+      "q05_topk_window" ->
+        """SELECT * FROM (
+          |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk
+          |  FROM lineitem) WHERE rnk <= 3""".stripMargin,
+
+      "q07_nbest" ->
+        """SELECT from_id, to_id, score FROM (
+          |  SELECT from_id, to_id, score,
+          |    ROW_NUMBER() OVER (PARTITION BY from_id ORDER BY score DESC, to_id ASC) AS rnk
+          |  FROM (SELECT DISTINCT l_orderkey AS from_id, l_partkey AS to_id, l_extendedprice AS score FROM lineitem))
+          |WHERE rnk <= 1""".stripMargin,
+
+      "q16_turn_order" ->
+        """SELECT event_id, user_id, event_type,
+          |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS turn_idx,
+          |  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+          |FROM events""".stripMargin,
+
+      "q06_stringmatch" ->
+        """WITH a AS (SELECT * FROM part WHERE p_partkey <= 1000),
+          |b AS (SELECT * FROM part WHERE p_partkey > 1000),
+          |cands AS (SELECT a.p_partkey AS from_id, b.p_partkey AS to_id FROM a JOIN b USING (p_brand)),
+          |matched AS (SELECT DISTINCT c.from_id, c.to_id FROM cands c
+          |  JOIN a ON a.p_partkey = c.from_id JOIN b ON b.p_partkey = c.to_id
+          |  WHERE a.p_type = b.p_type),
+          |mfrom AS (SELECT DISTINCT from_id FROM matched)
+          |SELECT from_id, to_id, 'matched' AS branch FROM matched
+          |UNION ALL
+          |SELECT from_id, to_id, 'remaining' AS branch FROM cands ANTI JOIN mfrom USING (from_id)""".stripMargin,
+
+      "q08_union_dedup" ->
+        """WITH m AS (
+          |  SELECT o_custkey AS entity1, o_orderkey AS entity2, o_totalprice AS value FROM orders WHERE o_orderstatus = 'O'
+          |  UNION ALL
+          |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0)
+          |SELECT entity1, entity2, max(value) AS value FROM m GROUP BY entity1, entity2""".stripMargin,
+
+      "q09_eval_prf" ->
+        s"""WITH $prfSets,
+           |c AS (SELECT
+           |  (SELECT count(*) FROM prek) AS n_mappings,
+           |  (SELECT count(*) FROM pre SEMI JOIN ign USING (entity1, entity2)) AS n_ignored,
+           |  (SELECT count(*) FROM refk) AS n_ref,
+           |  (SELECT count(*) FROM prek SEMI JOIN refk USING (entity1, entity2)) AS tp)
+           |SELECT n_mappings, n_ignored, n_ref, tp,
+           |  CASE WHEN n_mappings = 0 OR n_ref = 0 THEN -1.0 ELSE tp / n_mappings END AS p,
+           |  CASE WHEN n_mappings = 0 OR n_ref = 0 THEN -1.0 ELSE tp / n_ref END AS r,
+           |  CASE WHEN (CASE WHEN n_mappings = 0 OR n_ref = 0 THEN -1.0 ELSE tp / n_mappings END) < 0.0 THEN -1.0
+           |       WHEN (tp / n_mappings) + (tp / n_ref) = 0.0 THEN 0.0
+           |       ELSE 2 * (tp / n_mappings) * (tp / n_ref) / ((tp / n_mappings) + (tp / n_ref)) END AS f1
+           |FROM c""".stripMargin,
+
+      "q10_threshold_sweep" ->
+        """WITH pre0 AS (
+          |  SELECT l_orderkey AS entity1, l_partkey AS entity2, max(l_discount) AS value
+          |  FROM lineitem WHERE l_orderkey <> l_partkey GROUP BY 1, 2),
+          |ign AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_tax > 0.07),
+          |ref0 AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_discount > 0.08),
+          |refk AS (SELECT * FROM ref0 ANTI JOIN ign USING (entity1, entity2)),
+          |nref AS (SELECT count(*) AS n_ref FROM refk),
+          |flagged AS (
+          |  SELECT p.value,
+          |    CASE WHEN i.entity1 IS NOT NULL THEN 1 ELSE 0 END AS is_ign,
+          |    CASE WHEN r.entity1 IS NOT NULL THEN 1 ELSE 0 END AS in_ref
+          |  FROM pre0 p
+          |  LEFT JOIN (SELECT entity1, entity2 FROM ign) i USING (entity1, entity2)
+          |  LEFT JOIN (SELECT entity1, entity2 FROM refk) r USING (entity1, entity2)),
+          |th AS (SELECT unnest([0.0, 0.02, 0.05, 0.07, 0.09, 0.1]) AS threshold),
+          |agg AS (
+          |  SELECT th.threshold,
+          |    SUM(CASE WHEN is_ign = 0 THEN 1 ELSE 0 END) AS n_mappings,
+          |    SUM(is_ign) AS n_ignored,
+          |    SUM(CASE WHEN is_ign = 0 AND in_ref = 1 THEN 1 ELSE 0 END) AS tp
+          |  FROM flagged JOIN th ON flagged.value >= th.threshold GROUP BY th.threshold)
+          |SELECT threshold, n_mappings, n_ignored,
+          |  CASE WHEN n_mappings = 0 THEN -1.0 ELSE tp / n_mappings END AS p,
+          |  CASE WHEN (SELECT n_ref FROM nref) = 0 THEN -1.0 ELSE tp / (SELECT n_ref FROM nref) END AS r,
+          |  CASE WHEN (CASE WHEN n_mappings = 0 THEN -1.0 ELSE tp / n_mappings END) <= 0.0
+          |         OR (CASE WHEN (SELECT n_ref FROM nref) = 0 THEN -1.0 ELSE tp / (SELECT n_ref FROM nref) END) <= 0.0 THEN 0.0
+          |       ELSE 2 * (tp / n_mappings) * (tp / (SELECT n_ref FROM nref))
+          |            / ((tp / n_mappings) + (tp / (SELECT n_ref FROM nref))) END AS f1
+          |FROM agg""".stripMargin,
+
+      "q32_intra_synonyms" ->
+        """SELECT DISTINCT a.p_name AS sent1, b.p_name AS sent2, 1 AS label, 'syn' AS kind
+          |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_name <> b.p_name""".stripMargin,
+
+      "q14_siblings" ->
+        """SELECT a.n_regionkey, a.n_name AS sent1, b.n_name AS sent2
+          |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name""".stripMargin,
+
+      "q15_softneg_sample" ->
+        s"""WITH idx AS (
+           |  SELECT p_partkey, p_brand, p_name,
+           |    ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS idx,
+           |    (SELECT count(*) FROM part) AS d
+           |  FROM part),
+           |drawn AS (
+           |  SELECT a.p_name AS sent1, b.p_name AS sent2, a.p_brand AS brand_a, b.p_brand AS brand_b
+           |  FROM idx a JOIN idx b
+           |    ON b.idx = (a.idx + 1 + (${lcgSql("a.p_partkey")} % (a.d - 1))) % a.d)
+           |SELECT sent1, sent2 FROM drawn WHERE brand_a <> brand_b""".stripMargin,
+
+      "q17_splits" ->
+        s"""SELECT o_orderkey,
+           |  CASE WHEN ${lcgSql("o_orderkey")} < 429496729 THEN 'train'
+           |       WHEN ${lcgSql("o_orderkey")} < 644245094 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM orders""".stripMargin,
+
+      "q18_downsample" ->
+        s"""SELECT o_orderkey, rnk FROM (
+           |  SELECT o_orderkey,
+           |    ROW_NUMBER() OVER (ORDER BY ${lcgSql("o_orderkey")} ASC, o_orderkey ASC) AS rnk
+           |  FROM orders) WHERE rnk <= 100""".stripMargin,
+
+      "q19_dedup_exact" ->
+        """SELECT doc_id AS id,
+          |  md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\s+', ' ', 'g'))) AS text_hash,
+          |  count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\s+', ' ', 'g')))) AS group_size,
+          |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\s+', ' ', 'g')))) THEN 1 ELSE 0 END AS is_canonical
+          |FROM documents""".stripMargin,
+
+      "q20_shingles" ->
+        s"WITH $shingleCte SELECT id, shingle FROM sh",
+
+      "q21_minhash_sig" ->
+        s"""WITH $shingleCte
+           |SELECT id, s.seed, min(md5(shingle || '#' || s.seed)) AS mh
+           |FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+           |GROUP BY id, s.seed""".stripMargin,
+
+      "q22_lsh_pairs" ->
+        s"""WITH $shingleCte,
+           |mh AS (SELECT id, s.seed, min(md5(shingle || '#' || s.seed)) AS mh
+           |       FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s GROUP BY id, s.seed),
+           |bands AS (SELECT id, CAST(seed // 2 AS INT) AS band, string_agg(mh, ',' ORDER BY seed) AS band_sig
+           |          FROM mh GROUP BY id, CAST(seed // 2 AS INT))
+           |SELECT DISTINCT a.id AS id1, b.id AS id2
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id""".stripMargin,
+
+      "q23_ngram_jaccard" ->
+        s"""WITH $shingleCte,
+           |sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+           |rare AS (SELECT sh.id, sh.shingle FROM sh
+           |  JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) d
+           |  ON sh.shingle = d.shingle AND d.df <= 500 AND d.df >= 2),
+           |shared AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+           |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id1, id2, round(shared / (n1.n_shingles + n2.n_shingles - shared), 6) AS jaccard
+           |FROM shared
+           |JOIN sizes n1 ON n1.id = id1
+           |JOIN sizes n2 ON n2.id = id2
+           |WHERE shared / (n1.n_shingles + n2.n_shingles - shared) >= 0.2""".stripMargin,
+
+      "q27_embed_neardup" ->
+        """SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3""".stripMargin,
+
+      "q25_ann_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+          |s AS (SELECT query_id, cand_id,
+          |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          |  FROM q CROSS JOIN c WHERE query_id <> cand_id),
+          |r AS (SELECT query_id, cand_id, cosine,
+          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk FROM s)
+          |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+      "q26_ann_ivf" ->
+        """WITH cen AS (SELECT CAST(vec_id / 100 AS BIGINT) AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 100 = 0),
+          |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+          |assigned AS (SELECT id, v, cell FROM (
+          |  SELECT v.id, v.v, cen.cell,
+          |    ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+          |      list_dot_product(v.v, cen.cv) / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cen.cv, cen.cv))) DESC,
+          |      cen.cell ASC) AS rk
+          |  FROM v CROSS JOIN cen) WHERE rk = 1),
+          |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+          |probes AS (SELECT query_id, qv, cell FROM (
+          |  SELECT q.query_id, q.qv, cen.cell,
+          |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+          |      list_dot_product(q.qv, cen.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cen.cv, cen.cv))) DESC,
+          |      cen.cell ASC) AS rk
+          |  FROM q CROSS JOIN cen) WHERE rk <= 2),
+          |s AS (SELECT p.query_id, a.id AS cand_id,
+          |  list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
+          |  FROM probes p JOIN assigned a USING (cell) WHERE p.query_id <> a.id),
+          |r AS (SELECT query_id, cand_id, cosine,
+          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk FROM s)
+          |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+      "q28_lang_quality" -> {
+        def h(ws: Seq[String]) =
+          s"len(list_filter($toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val en = h(Seq("the", "and", "of", "to", "is", "with", "that"))
+        val de = h(Seq("der", "die", "das", "und", "ist", "mit", "ein"))
+        val fr = h(Seq("le", "la", "les", "et", "est", "avec", "une"))
+        val es = h(Seq("el", "la", "los", "y", "es", "con", "una"))
+        val stop = h(graft.functions.text.stopWords.toSeq.sorted)
+        s"""SELECT doc_id, $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits,
+           |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+           |       WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+           |       WHEN $en >= $es AND $en >= $fr THEN 'en'
+           |       WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS pred_lang,
+           |  len($toks) AS n_words,
+           |  $stop AS n_stop,
+           |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6) AS alpha_ratio
+           |FROM documents""".stripMargin
+      },
+
+      "q29_token_count" ->
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform($toks, w ->
+           |    CASE WHEN length(w) <= 4 THEN 1 ELSE 1 + CAST(ceil((length(w) - 4) / 4.0) AS BIGINT) END)) AS BIGINT) AS n_tokens
+           |FROM documents""".stripMargin,
+
+      "q30_fingerprint" ->
+        """SELECT doc_id, md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\s+', ' ', 'g'))) AS fp FROM documents""",
+
+      "q31_scorer_pairs" -> {
+        // lexical scorer replicated in SQL: jaccard over distinct word
+        // tokens + normalized edit similarity, 0.5/0.5 blend
+        val ta = "list_distinct(list_filter(string_split_regex(lower(a.p_name), '[^a-z0-9]+'), x -> x <> ''))"
+        val tb = "list_distinct(list_filter(string_split_regex(lower(b.p_name), '[^a-z0-9]+'), x -> x <> ''))"
+        s"""SELECT a.p_partkey AS from_id, b.p_partkey AS to_id, a.p_name AS l1, b.p_name AS l2,
+           |  round(CASE WHEN a.p_name = b.p_name THEN 1.0 ELSE
+           |    0.5 * (len(list_intersect($ta, $tb)) /
+           |           (len($ta) + len($tb) - len(list_intersect($ta, $tb))))
+           |    + 0.5 * (1.0 - levenshtein(a.p_name, b.p_name) / greatest(length(a.p_name), length(b.p_name))) END, 6) AS pair_score
+           |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey""".stripMargin
+      },
+
+      "q33_media_meta" ->
+        """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS payload_md5,
+          |  CAST(strlen(text) AS BIGINT) % 251 AS shard
+          |FROM documents""".stripMargin,
+
+      "q34_sessionize" ->
+        """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
+          |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q35_connected_components" ->
+        """WITH e AS (SELECT n.n_name AS a, r.r_name AS b FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+          |grp AS (SELECT b, least(min(a), b) AS canonical FROM e GROUP BY b)
+          |SELECT a AS id, canonical FROM e JOIN grp USING (b)
+          |UNION ALL
+          |SELECT b AS id, canonical FROM grp""".stripMargin,
+
+      "q36_repair_onetoone" ->
+        """WITH m AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS entity1, CAST(l_partkey AS VARCHAR) AS entity2, l_extendedprice AS value FROM lineitem),
+          |s1 AS (SELECT * FROM (SELECT m.*, ROW_NUMBER() OVER (PARTITION BY entity1 ORDER BY value DESC, entity2 ASC) AS r1 FROM m) WHERE r1 = 1),
+          |s2 AS (SELECT * FROM (SELECT s1.entity1, s1.entity2, s1.value, ROW_NUMBER() OVER (PARTITION BY entity2 ORDER BY value DESC, entity1 ASC) AS r2 FROM s1) WHERE r2 = 1)
+          |SELECT entity1, entity2, value FROM s2""".stripMargin,
+
+      "q37_agg_baseline" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+          |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q38_join_groupby" ->
+        """SELECT c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue, count(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin
+    )
+  }
 }

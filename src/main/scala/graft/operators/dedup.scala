@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.text
+
+/**
+ * Document deduplication family for large-scale training-data pipelines.
+ * All hash material derives from md5 (available identically in Spark and
+ * ANSI-ish SQL engines → oracle-checkable), never from JVM hashCode.
+ *
+ * Scale design: every variant avoids the quadratic all-pairs comparison —
+ * exact dedup is a single hash aggregation; MinHash/LSH compares only
+ * within LSH buckets; n-gram Jaccard joins only documents sharing a
+ * shingle whose document frequency is below a cap (hot shingles contribute
+ * the least discriminative evidence and the most join fan-out — the same
+ * df-cap rationale as the inverted-index stop-token cap).
+ */
+object dedup {
+
+  /** Normalized text for dedup purposes. */
+  def normText(c: Column): Column = text.normalizeCol(c)
+
+  /** Exact dedup: group by md5(normalized text), keep the minimum id per
+    * group (deterministic survivor). Returns (id, text_hash, group_size,
+    * is_canonical). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    docs
+      .select(col(idCol).as("id"), md5(normText(col(textCol))).as("text_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", (col("id") === min(col("id")).over(w)).cast("int"))
+  }
+
+  /** Word k-shingles of a document as one row per distinct shingle. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = text.wordTokensCol(col(textCol))
+    docs.select(col(idCol).as("id"),
+        explode(
+          // sliding window of k tokens joined by space; empty when < k tokens
+          filter(
+            transform(toks, (_, i) =>
+              when(i <= size(toks) - k,
+                array_join(slice(toks, i + 1, lit(k)), " "))),
+            s => s.isNotNull)
+        ).as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs: J(|A∩B| / |A∪B|) >= threshold.
+    * Joins only via shared shingles with df <= maxDf. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double,
+                        maxDf: Long = 1000L): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf && col("df") >= 2),
+      "shingle")
+    val shared = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id1"), col("n_shingles").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n_shingles").as("n2")), "id2")
+      .withColumn("jaccard",
+        col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Long-form MinHash signature: one row per (id, seed) with the minimum
+    * md5(shingle || '#' || seed) — md5's uniformity makes the lexicographic
+    * min over hex digests a valid MinHash permutation per seed. */
+  def minhashLong(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k)
+    sh.withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("h", md5(concat(col("shingle"), lit("#"), col("seed"))))
+      .groupBy("id", "seed")
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** LSH band signatures: seeds grouped into bands of `rowsPerBand`; the
+    * band signature is the ordered concat of its minhashes. Candidate pairs
+    * are documents sharing any (band, signature) bucket. */
+  def minhashBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh")), ",").as("band_sig"))
+
+  /** MinHash-LSH candidate pairs (id1 < id2, distinct). */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = minhashBands(minhashLong(docs, idCol, textCol, k, numHashes), rowsPerBand)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature from per-token md5 bits; near-dups =
+    * signatures within `maxHammingDistance`. Token weight 1 (unweighted).
+    * Bucketing for scale: band the 64 bits into 4×16-bit keys — two docs
+    * within Hamming distance 3 share at least one exact 16-bit band
+    * (pigeonhole), so candidate pairs join on band equality only. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(text.wordTokensCol(normText(col(textCol)))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("w"))
+      // 64-bit token hash from the first 16 hex chars of md5
+      .withColumn("th", conv(substring(md5(col("token")), 1, 16), 16, 10).cast("decimal(22,0)"))
+    // per-bit weighted vote: bit j of token hash = (th div 2^j) mod 2
+    val bits = toks
+      .withColumn("bit", explode(sequence(lit(0), lit(63))))
+      .withColumn("v",
+        when(pmod(floor(col("th") / pow(lit(2.0), col("bit"))).cast("decimal(22,0)"), lit(2)) === 1,
+          col("w")).otherwise(-col("w")))
+      .groupBy("id", "bit").agg(sum(col("v")).as("vote"))
+    bits
+      .withColumn("bitval",
+        when(col("vote") > 0, pow(lit(2.0), col("bit"))).otherwise(lit(0.0)))
+      .groupBy("id")
+      .agg(sum(col("bitval")).cast("decimal(22,0)").as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (e.g., an LSH
+    * bucket or a label/category column): avoids the global cross join. */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      similarity.toDoubleArray(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cosine", similarity.cosineCol(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
+  }
+}

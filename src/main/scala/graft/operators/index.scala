@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.text
+
+/**
+ * Sub-word inverted index + IDF candidate selection — the reference's
+ * search-space pruning device (OntoInvertedIndex at
+ * /root/reference/bertmap/onto/onto_index.py:49-60 and select_candidates at
+ * onto_box.py:63-94), rebuilt as declarative Spark dataflow:
+ *
+ *   classes(class_iri, labels)
+ *     → explode labels → explode tokens → filter len>cut   = postings
+ *   postings.groupBy(token).count                           = document freq
+ *   queryTokens ⋈ postings on token                          (broadcast/salted)
+ *     → groupBy(query, candidate).sum(log10(D/df))           = summed IDF
+ *     → window top-k per query (desc score, asc candidate)   = candidates
+ *
+ * Scale notes (100 TB): the posting table of a catalog is small relative to
+ * the query side (mentions), so the token join broadcasts the postings; hot
+ * surface-form tokens produce skewed fan-out on the *aggregation* — handled
+ * by (a) an optional df-cap dropping stop-tokens (a token present in a large
+ * fraction of the catalog contributes ~log10(1)≈0 IDF anyway), and (b)
+ * two-level aggregation via an explicit salt on the query side
+ * (`saltBuckets`), plus AQE skew-join handling when the postings are too big
+ * to broadcast.
+ */
+object index {
+
+  /** Build postings (one row per (id, token)) from a table with an
+    * `idCol` and an array<string> `labelsCol`.
+    * Reference: onto_index.py:49-60 (tokenize each label, keep len>cut). */
+  def postings(classes: DataFrame, idCol: String, labelsCol: String,
+               cut: Int = 0): DataFrame = {
+    classes
+      .select(col(idCol).as("class_id"), explode(col(labelsCol)).as("label"))
+      .select(col("class_id"), explode(text.wordTokensCol(col("label"))).as("token"))
+      .filter(length(col("token")) > cut)
+      .distinct() // a token appearing in several labels of one class posts once
+  }
+
+  /** Postings straight from a text column (graft path: mention/document
+    * text rather than label bags). */
+  def postingsFromText(docs: DataFrame, idCol: String, textCol: String,
+                       cut: Int = 0): DataFrame =
+    docs
+      .select(col(idCol).as("class_id"), explode(text.wordTokensCol(col(textCol))).as("token"))
+      .filter(length(col("token")) > cut)
+      .distinct()
+
+  /** Document frequency per token (onto_box.py:84: len(potential_candidates)). */
+  def docFreq(postings: DataFrame): DataFrame =
+    postings.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /**
+   * IDF candidate selection: for each query id, the top-`limit` candidate
+   * ids by summed log10(D/df) over shared tokens
+   * (onto_box.py:73-89; candidate_limit config.json:41-47).
+   *
+   * @param queryTokens  (query_id, token) — pre-exploded query-side tokens
+   * @param posting      (class_id, token) — candidate-side postings
+   * @param totalDocs    D — candidate-catalog size (a scalar; broadcast-free)
+   * @param limit        top-k per query
+   * @param maxDfFrac    drop tokens with df > maxDfFrac*D (stop-token cap;
+   *                     bounds the skewed fan-out of hot surface forms —
+   *                     pass 1.0 to disable and match the reference exactly)
+   * @param saltBuckets  >1 adds a salt to pre-aggregate the skewed
+   *                     (query,candidate) partial sums in two levels
+   *
+   * Tie-break: the reference inherits Python's stable sort over insertion
+   * order (onto_box.py:87-89); we pin (score desc, class_id asc) explicitly
+   * so results are reproducible across partitionings.
+   */
+  def idfCandidates(queryTokens: DataFrame, posting: DataFrame, totalDocs: Long,
+                    limit: Int, maxDfFrac: Double = 1.0,
+                    saltBuckets: Int = 1): DataFrame = {
+    val df0 = docFreq(posting)
+    val dfKept =
+      if (maxDfFrac >= 1.0) df0
+      else df0.filter(col("df") <= lit(math.max(1.0, maxDfFrac * totalDocs)))
+    // token -> (class_id, idf); idf = log10(D/df)
+    val tokenIdf = posting
+      .join(dfKept, "token")
+      .withColumn("idf", log10(lit(totalDocs.toDouble) / col("df")))
+      .select("token", "class_id", "idf")
+
+    val joined = queryTokens
+      .select(col("query_id"), col("token"))
+      .join(broadcast(tokenIdf), "token")
+
+    val summed =
+      if (saltBuckets <= 1) {
+        joined.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
+      } else {
+        // two-level agg: partial per (query,candidate,salt), then final.
+        // The salt derives from the *token* so a hot token's contributions
+        // spread over saltBuckets reducers before converging.
+        joined
+          .withColumn("salt", pmod(hash(col("token")), lit(saltBuckets)))
+          .groupBy("query_id", "class_id", "salt")
+          .agg(sum("idf").as("partial"))
+          .groupBy("query_id", "class_id")
+          .agg(sum("partial").as("idf_score"))
+      }
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("idf_score").desc, col("class_id").asc)
+    summed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+      .drop("rank")
+  }
+
+  /**
+   * Fixed-point IDF candidate selection: identical dataflow to
+   * `idfCandidates` but with the integer IDF surrogate
+   * `floor(1e6 * D / df)` summed as BIGINT — exact, associative arithmetic
+   * whose ranking is bit-reproducible across engines and partitionings
+   * (the double log10 path can differ in the last ulp across platforms,
+   * which matters only for cross-engine golden comparison, not semantics:
+   * both weights are strictly decreasing in df).
+   */
+  def idfCandidatesFixedPoint(queryTokens: DataFrame, posting: DataFrame,
+                              totalDocs: Long, limit: Int,
+                              maxDfFrac: Double = 1.0): DataFrame = {
+    val df0 = docFreq(posting)
+    val dfKept =
+      if (maxDfFrac >= 1.0) df0
+      else df0.filter(col("df") <= lit(math.max(1.0, maxDfFrac * totalDocs)))
+    val tokenW = posting.join(dfKept, "token")
+      .withColumn("w", floor(lit(1000000L) * lit(totalDocs) / col("df")).cast("long"))
+      .select("token", "class_id", "w")
+    val summed = queryTokens
+      .select(col("query_id"), col("token"))
+      .join(broadcast(tokenW), "token")
+      .groupBy("query_id", "class_id")
+      .agg(sum("w").as("idf_w"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("idf_w").desc, col("class_id").asc)
+    summed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+  }
+
+  /** Convenience: query tokens from a labels-bag table (same tokenizer as
+    * the postings so query and index agree). */
+  def queryTokens(classes: DataFrame, idCol: String, labelsCol: String,
+                  cut: Int = 0): DataFrame =
+    postings(classes, idCol, labelsCol, cut).withColumnRenamed("class_id", "query_id")
+}

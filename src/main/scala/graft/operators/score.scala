@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.text
+
+/**
+ * Pair scoring — the model-adjacent surface of the pipeline
+ * (/root/reference/bertmap/map/bert_classifier_map.py:48-52,116-159).
+ *
+ * The reference scores label cross-pairs with a fine-tuned BERT
+ * cross-encoder; its own `nes`/`bertembeds` modes (run_bertmap.py:293-367)
+ * prove the scorer slot is pluggable without touching the dataflow. Here the
+ * scorer is a deterministic lexical blend (token Jaccard + normalized edit
+ * similarity) executed as a *batched* function inside mapPartitions over a
+ * typed projection, with its parameters shipped via SparkContext.broadcast —
+ * the same physical contract a real broadcast-weights batched-inference hop
+ * would use (north_star: "batched inference, broadcast model weights,
+ * Arrow-ish batching"). Swapping in an ONNX/embedding scorer changes only
+ * `ScorerParams`/`scoreBatch`, never the plan around it.
+ */
+object score {
+
+  /** Broadcastable scorer parameters (the "model weights"). */
+  final case class ScorerParams(
+      jaccardWeight: Double = 0.5,
+      editWeight: Double = 0.5,
+      batchSize: Int = 32) // config.json batch_size=32
+
+  /** Deterministic pair score in [0,1]. Pure function — the per-element
+    * kernel the batch loop vectorizes over. */
+  def scorePair(p: ScorerParams, a: String, b: String): Double = {
+    val na = text.normalize(a)
+    val nb = text.normalize(b)
+    if (na == nb) 1.0
+    else p.jaccardWeight * text.tokenJaccard(na, nb) +
+      p.editWeight * text.editSimilarity(na, nb)
+  }
+
+  /** Batched kernel: one call per `batchSize` rows, mirroring the tensor
+    * forward pass shape (bert_classifier_map.py:127-134). */
+  def scoreBatch(p: ScorerParams, batch: Array[(String, String)]): Array[Double] = {
+    val out = new Array[Double](batch.length)
+    var i = 0
+    while (i < batch.length) {
+      out(i) = scorePair(p, batch(i)._1, batch(i)._2)
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Score label pairs: input must have columns (from_id, to_id, l1, l2);
+   * output adds `pair_score`. Runs in mapPartitions with broadcast params,
+   * batching `params.batchSize` rows per kernel call.
+   */
+  def scoreLabelPairs(spark: SparkSession, pairs: DataFrame,
+                      params: ScorerParams = ScorerParams()): DataFrame = {
+    val bc: Broadcast[ScorerParams] = spark.sparkContext.broadcast(params)
+    val inSchema = pairs.schema
+    val outSchema = inSchema.add(StructField("pair_score", DoubleType, nullable = false))
+    val l1Idx = inSchema.fieldIndex("l1")
+    val l2Idx = inSchema.fieldIndex("l2")
+    val rdd = pairs.rdd.mapPartitions { it =>
+      val p = bc.value
+      it.grouped(p.batchSize).flatMap { rows =>
+        val batch = rows.map(r => (r.getString(l1Idx), r.getString(l2Idx))).toArray
+        val scores = scoreBatch(p, batch)
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ scores(i))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * String-match short-circuit with candidate abandonment
+   * (bert_classifier_map.py:119-123 — an exact label match returns
+   * [(to, 1.0)] immediately, dropping the from-class's *other* candidates).
+   *
+   * @param candPairs   (from_id, to_id) candidate class pairs
+   * @param fromLabels  (from_id, label) normalized
+   * @param toLabels    (to_id, label) normalized
+   * @return (matchedPairs with score 1.0, remainingCandPairs to model-score)
+   */
+  def stringMatchSplit(candPairs: DataFrame, fromLabels: DataFrame,
+                       toLabels: DataFrame): (DataFrame, DataFrame) = {
+    val matched = candPairs
+      .join(fromLabels, "from_id")
+      .join(toLabels.withColumnRenamed("label", "to_label"), "to_id")
+      .filter(col("label") === col("to_label"))
+      .select("from_id", "to_id").distinct()
+      .withColumn("score", lit(1.0))
+    val matchedFrom = matched.select("from_id").distinct()
+    val remaining = candPairs.join(matchedFrom, Seq("from_id"), "left_anti")
+    (matched, remaining)
+  }
+
+  /** Per-class-pair pooling of label-pair scores: mean (default) or max
+    * (batch_pooling, bert_classifier_map.py:155-159). */
+  def pool(scored: DataFrame, strategy: String = "mean"): DataFrame = {
+    require(strategy == "mean" || strategy == "max",
+      s"pooling must be mean|max (bert_classifier_map.py:38), got $strategy")
+    val agg = if (strategy == "mean") avg(col("pair_score")) else max(col("pair_score"))
+    scored.groupBy("from_id", "to_id").agg(agg.as("score"))
+  }
+
+  /** Score clamp: scores <= 0.01 -> 0.0 (bert_classifier_map.py:83-84). */
+  def clamp(mappings: DataFrame, scoreCol: String = "score"): DataFrame =
+    mappings.withColumn(scoreCol,
+      when(col(scoreCol) <= 0.01, 0.0).otherwise(col(scoreCol)))
+}
