@@ -86,8 +86,8 @@ object evalmod {
   }
 
   /** The reference's validation threshold grid: evenly_divide(0,0.8,8) +
-    * (0.9,0.97,7) + (0.98,1.0,20) — 37 points (eval_bertmap.py:182-184,
-    * general_utils.py:16-18). */
+    * (0.9,0.97,7) + (0.98,1.0,20) — 38 points, each evenly_divide being
+    * endpoint-inclusive (eval_bertmap.py:182-184, general_utils.py:16-18). */
   def thresholdGrid: Seq[Double] = {
     def evenlyDivide(b: Double, e: Double, n: Int): Seq[Double] = {
       val step = (e - b) / n

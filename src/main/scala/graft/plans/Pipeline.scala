@@ -29,8 +29,10 @@ object Pipeline {
   final case class Params(
       candidateLimit: Int = 25,     // config.json:41-47 uses {25..200}
       nbest: Int = 1,               // config.json:49
-      pooling: String = "mean",     // config.json pooling strategy
-      threshold: Double = 0.7,      // mapping acceptance threshold
+      pooling: String = "max",      // mean|max (config.json uses mean; max
+                                    // suits the lexical stand-in scorer,
+                                    // whose off-pairs drag the mean down)
+      threshold: Double = 0.5,      // mapping acceptance threshold
       kappa: Double = 0.9,          // extension threshold (extend_bertmap.py:108)
       maxExtendIter: Int = 5,       // 50 in reference; fixture DAGs are shallow
       tokenCut: Int = 0,            // onto_index cut (config.json:11)

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import graft.model._
+import graft.operators.mentions
+import graft.sources.fixtures
+
+class MentionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val classes = Seq(
+    ClassText("src", "src:C1", 0L, Seq("heart failure")),
+    ClassText("src", "src:C2", 1L, Seq("heart")),
+    ClassText("src", "src:C3", 2L, Seq("failure")))
+
+  test("surfaceDict maps normalized surfaces to entity lists") {
+    val d = mentions.surfaceDict(classes)
+    assert(d("heart failure") == Seq(("src", "src:C1")))
+    assert(d.keySet == Set("heart failure", "heart", "failure"))
+  }
+
+  test("detectInText: longest match wins, scan continues after match") {
+    val d = mentions.surfaceDict(classes)
+    val out = mentions.detectInText(d, 4, "patient has Heart Failure and heart issues")
+    assert(out.contains(("src", "src:C1", "heart failure")))
+    assert(out.contains(("src", "src:C2", "heart")))       // the second 'heart'
+    assert(!out.contains(("src", "src:C3", "failure")))    // consumed by longest match
+  }
+
+  test("detect over a Dataset[Turn] keeps conv/turn keys") {
+    val turns = Seq(
+      Turn("c1", 0, "user", "tell me about heart failure", null, new Timestamp(0L)),
+      Turn("c1", 1, "assistant", "nothing relevant here", null, new Timestamp(1L)))
+      .toDS()
+    val out = mentions.detect(spark, turns, classes).collect()
+    assert(out.length == 1)
+    assert(out.head == Mention("c1", 0, "src", "src:C1", "heart failure"))
+  }
+
+  test("fixture transcripts embed detectable surface forms") {
+    val cfg = fixtures.tiny
+    val turns = fixtures.transcripts(spark, cfg)
+    val cls = fixtures.classes(spark, cfg).filter(_.onto == "src").collect().toSeq
+    val n = mentions.detect(spark, turns, cls).count()
+    assert(n > 0)
+  }
+}

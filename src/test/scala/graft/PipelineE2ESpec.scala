@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.evalmod
+import graft.plans.Pipeline
+import graft.sources.fixtures
+
+/** End-to-end golden gate (BASELINE.md): pipeline mappings vs the
+  * fixture's by-construction reference alignments at P/R >= 0.95, with the
+  * reference's own protocol — threshold selected by best F1 on the sweep,
+  * ignored set excluded from both sides. */
+class PipelineE2ESpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val cfg = fixtures.tiny
+  private lazy val turns = fixtures.transcripts(spark, cfg)
+  private lazy val classes = fixtures.classes(spark, cfg)
+  private lazy val edges = fixtures.edges(spark, cfg)
+  private lazy val refs = fixtures.refMappings(spark, cfg)
+
+  private lazy val result = Pipeline.run(spark, turns, classes, edges)
+
+  test("alignment P/R >= 0.95 vs reference mappings at best threshold") {
+    val (mappings, _) = result
+    val ref = refs.filter(!$"is_ignored").select("entity1", "entity2", "value")
+    val ign = refs.filter($"is_ignored").select("entity1", "entity2", "value")
+    val sweep = evalmod.thresholdSweep(spark, mappings, ref, ign)
+    val best = evalmod.bestByF1(sweep).head()
+    val (p, r) = (best.getAs[Double]("p"), best.getAs[Double]("r"))
+    info(s"best threshold=${best.getAs[Double]("threshold")} P=$p R=$r " +
+      s"F1=${best.getAs[Double]("f1")} n=${best.getAs[Long]("n_mappings")}")
+    assert(p >= 0.95, s"precision $p < 0.95")
+    assert(r >= 0.95, s"recall $r < 0.95")
+  }
+
+  test("triples carry all three predicates and reference the catalogs") {
+    val (_, triples) = result
+    val preds = triples.select("pred").distinct().as[String].collect().toSet
+    assert(preds == Set("sameAs", "mentions", "broader"))
+    assert(triples.filter($"pred" === "mentions").count() > 0)
+    assert(triples.filter($"pred" === "sameAs").count() > 0)
+  }
+
+  test("flagship entry returns non-empty triples (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

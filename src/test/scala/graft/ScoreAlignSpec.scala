@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{align, score}
+
+class ScoreAlignSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("scorePair: exact match short-circuits to 1.0; blend in [0,1]") {
+    val p = score.ScorerParams()
+    assert(score.scorePair(p, "Heart_Failure", "heart failure") == 1.0)
+    val s = score.scorePair(p, "heart failure", "heart attack")
+    assert(s > 0.0 && s < 1.0)
+  }
+
+  test("scoreBatch matches per-pair kernel") {
+    val p = score.ScorerParams(batchSize = 2)
+    val batch = Array(("a b", "a c"), ("x", "x"))
+    assert(score.scoreBatch(p, batch).toList ==
+      List(score.scorePair(p, "a b", "a c"), 1.0))
+  }
+
+  test("scoreLabelPairs: mapPartitions scorer appends pair_score") {
+    val pairs = Seq((1L, 2L, "heart failure", "heart failure"),
+      (1L, 3L, "heart failure", "renal disease"))
+      .toDF("from_id", "to_id", "l1", "l2")
+    val m = score.scoreLabelPairs(spark, pairs)
+      .select("to_id", "pair_score").as[(Long, Double)].collect().toMap
+    assert(m(2L) == 1.0 && m(3L) < 0.5)
+  }
+
+  test("stringMatchSplit: matched from-classes abandon remaining candidates") {
+    val cands = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("from_id", "to_id")
+    val fl = Seq((1L, "alpha"), (2L, "beta")).toDF("from_id", "label")
+    val tl = Seq((10L, "alpha"), (11L, "alpha")).toDF("to_id", "label")
+    val (matched, remaining) = score.stringMatchSplit(cands, fl, tl)
+    val mset = matched.select("from_id", "to_id").as[(Long, Long)].collect().toSet
+    // from 1 matches both 10 and 11 (both carry 'alpha')
+    assert(mset == Set((1L, 10L), (1L, 11L)))
+    // from 1 is fully removed from the scoring side; from 2 stays
+    val r = remaining.select("from_id", "to_id").as[(Long, Long)].collect().toSet
+    assert(r == Set((2L, 10L)))
+  }
+
+  test("pool mean vs max (batch_pooling semantics)") {
+    val scored = Seq((1L, 2L, 0.2), (1L, 2L, 0.8), (1L, 3L, 0.5))
+      .toDF("from_id", "to_id", "pair_score")
+    val mean = score.pool(scored, "mean").as[(Long, Long, Double)].collect().toSet
+    val mx = score.pool(scored, "max").as[(Long, Long, Double)].collect().toSet
+    assert(mean.contains((1L, 2L, 0.5)) && mx.contains((1L, 2L, 0.8)))
+    intercept[IllegalArgumentException](score.pool(scored, "median"))
+  }
+
+  test("clamp: scores <= 0.01 -> 0.0 (bert_classifier_map.py:83-84)") {
+    val m = Seq((1L, 0.01), (2L, 0.011)).toDF("id", "score")
+    val out = score.clamp(m).as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.011)
+  }
+
+  test("nBest: keeps n per from-class with (score desc, to asc) tie-break") {
+    val scored = Seq(
+      (1L, 5L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.8),
+      (2L, 9L, 0.1)).toDF("from_id", "to_id", "score")
+    val out = align.nBest(scored, 1).select("from_id", "to_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 9L))) // tie at 0.9 -> lower to_id
+  }
+
+  test("combine: union + dedup keeps max value, drops nulls (onto_map.py:146)") {
+    val a = Seq(("x", "y", 0.7), ("x", "z", 0.4)).toDF("entity1", "entity2", "value")
+    val b = Seq(("x", "y", 0.9)).toDF("entity1", "entity2", "value")
+    val out = align.combine(a, b).as[(String, String, Double)].collect().toSet
+    assert(out == Set(("x", "y", 0.9), ("x", "z", 0.4)))
+  }
+
+  test("atThreshold filters on value") {
+    val a = Seq(("x", "y", 0.7), ("x", "z", 0.4)).toDF("entity1", "entity2", "value")
+    assert(align.atThreshold(a, 0.5).count() == 1)
+  }
+}
