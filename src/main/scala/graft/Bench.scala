@@ -1,24 +1,162 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.plans.Pipeline
+import graft.sources.fixtures
+
+/**
+ * Benchmark main. Prints ONE JSON line:
+ *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+ *    plus pipeline throughput (turns/sec, triples/sec) at two parallelism
+ *    levels and the N→4N scaling efficiency}
+ *
+ * The scaling pair (local[8] vs local[32] on identical input) is the
+ * sandbox proxy for the north_rule's two-cluster-size criterion; the same
+ * numbers are also written to BENCH/BASELINE.md by graft.Scaling.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  final case class PipeRun(seconds: Double, turns: Long, triples: Long) {
+    def turnsPerSec: Double = turns / seconds
+    def triplesPerSec: Double = triples / seconds
+  }
+
+  def session(cpus: Int): SparkSession = {
+    // shuffle files on tmpfs: the sandbox block device adds ~ms-scale
+    // latency per shuffle-file create, which scales with map count and
+    // made tiny SQL stages anti-scale with cores (cluster equivalent:
+    // local NVMe scratch for shuffle)
+    val localDir = if (new java.io.File("/dev/shm").isDirectory)
+      "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir")
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.local.dir", localDir)
+      // Every shuffle in this pipeline moves catalog-sized data (the
+      // transcript path — scan → detect → triples — is shuffle-free by
+      // design); tiny-SQL execution cost scales with the shuffle writer
+      // width (measured 444ms/query at 24 partitions vs 106ms at 4), so
+      // the bench sizes shuffles to the data. At cluster scale this knob
+      // is workload-sized the same way (or AQE initialPartitionNum high).
+      .config("spark.sql.shuffle.partitions", "8")
+      // the bench fixture is a few hundred MB: default 128m splits give
+      // ~7 scan partitions, capping the mention-detect stage at 7-wide
+      // regardless of cores. 16m splits let all cores engage; on a real
+      // cluster the 10^12-turn table would have millions of natural splits.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst (default true) pins even KB-sized shuffles at
+      // `shuffle.partitions` tasks; with ~15ms/task overhead the catalog-
+      // side stages then ANTI-scale with cores. Size-based coalescing
+      // collapses them to one task while the transcript-side stages keep
+      // full width from their input splits.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Materialize the bench fixture as parquet once (the pipeline's real
+    * input contract is a table scan, not an in-memory generator). */
+  def writeFixture(spark: SparkSession, nConvs: Int, dir: String): Unit = {
+    val cfg = fixtures.bench(nConvs)
+    import spark.implicits._
+    fixtures.transcripts(spark, cfg).write.mode("overwrite").parquet(s"$dir/transcripts")
+    fixtures.classes(spark, cfg).write.mode("overwrite").parquet(s"$dir/classes")
+    fixtures.edges(spark, cfg).write.mode("overwrite").parquet(s"$dir/edges")
+  }
+
+  /** One full KG-construction run reading the materialized fixture. */
+  def runPipeline(spark: SparkSession, dir: String): PipeRun = {
+    import spark.implicits._
+    import graft.model._
+    val turns = spark.read.parquet(s"$dir/transcripts").as[Turn]
+    val classes = spark.read.parquet(s"$dir/classes").as[ClassText]
+    val edges = spark.read.parquet(s"$dir/edges").as[Edge]
+    val t0 = System.nanoTime()
+    val (_, triples) = Pipeline.run(spark, turns, classes, edges)
+    val nTriples = triples.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    PipeRun(dt, turns.count(), nTriples)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2400000").toInt
+    val lowCpus = math.max(2, cpus / 4)
+    val fixtureDir = s"/tmp/graft-bench-$nConvs"
+    val warmDir = "/tmp/graft-bench-warm"
+
+    // --- scaling pair: identical pipeline job at N and 4N cores ----------
+    // Fixture prep runs first, followed by an fsync + pause: dirty-page
+    // writeback of the freshly written input otherwise competes with the
+    // measured runs' shuffle I/O (observed 3x distortion). Each level then
+    // runs in its OWN forked JVM (fresh heap — shared-JVM runs cross-
+    // contaminate through GC state), with a warmup + best-of-2 inside.
+    val sPrep = session(cpus)
+    writeFixture(sPrep, 50000, warmDir)
+    writeFixture(sPrep, nConvs, fixtureDir)
+    sPrep.stop()
+    new ProcessBuilder("sync").start().waitFor()
+    Thread.sleep(2000)
+
+    def forkOne(c: Int): PipeRun = {
+      val jvm = System.getProperty("java.home") + "/bin/java"
+      // same module opens as build.sbt (Spark 4 on JDK 17 outside spark-submit)
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEM", "24g")
+      // fixed-size heap + throughput GC: heap-expansion pauses and G1
+      // mixed-collection timing otherwise add tens of percent of noise to
+      // the measured runs
+      val cmd = Seq(jvm, s"-Xms$mem", s"-Xmx$mem", "-XX:+UseParallelGC") ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchOne", c.toString, fixtureDir, warmDir, "2")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .find(_.startsWith("BENCHONE")).getOrElse(sys.error("bench child failed"))
+      proc.waitFor()
+      val parts = out.split(" ")
+      PipeRun(parts(2).toDouble, parts(3).toLong, parts(4).toLong)
+    }
+    // interleave the levels (L,H,L,H) so episodic sandbox noise (host
+    // stalls measured at 2-3x) cannot bias one level; min is the estimator
+    val l1 = forkOne(lowCpus)
+    val h1 = forkOne(cpus)
+    val l2 = forkOne(lowCpus)
+    val h2 = forkOne(cpus)
+    val low = Seq(l1, l2).minBy(_.seconds)
+    val high = Seq(h1, h2).minBy(_.seconds)
+    val sHigh = session(cpus)
+    // efficiency of the 4x core jump: (T_low/T_high) / (cpus/lowCpus)
+    val eff = (low.seconds / high.seconds) / (cpus.toDouble / lowCpus)
+
+    // --- query battery over the sf testdata ------------------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(sHigh, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val qs = (results :+ ("pipeline_e2e" -> high.seconds))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + high.seconds
+
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"pipeline":{"turns":${high.turns},"triples":${high.triples},"cores_low":$lowCpus,"cores_high":$cpus,"sec_low":${low.seconds}%.3f,"sec_high":${high.seconds}%.3f,"turns_per_sec_low":${low.turnsPerSec}%.1f,"turns_per_sec_high":${high.turnsPerSec}%.1f,"triples_per_sec_high":${high.triplesPerSec}%.1f,"scaling_efficiency":$eff%.3f}}""")
+    sHigh.stop()
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev tool: dump formatted physical plans for the load-bearing queries and
+ * grep-able assertions about them (pushdown reached the scan, broadcast
+ * chosen, codegen spans). The PLAN notes in README derive from this.
+ */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Bench.session(8)
+    import spark.implicits._
+
+    def check(name: String, wanted: Seq[String], unwanted: Seq[String] = Nil)(
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = wanted.filterNot(plan.contains)
+      val present = unwanted.filter(plan.contains)
+      val status = if (missing.isEmpty && present.isEmpty) "OK " else "BAD"
+      println(s"[plan] $status $name" +
+        (if (missing.nonEmpty) s" missing=$missing" else "") +
+        (if (present.nonEmpty) s" unwanted=$present" else ""))
+      if (status == "BAD" || args.contains("-v"))
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    // 1. filter + projection pushdown to parquet
+    check("pushdown: lineitem filter+prune",
+      wanted = Seq("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"),
+      unwanted = Seq("l_comment")) {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter($"l_quantity" > 45).select("l_orderkey", "l_partkey")
+    }
+
+    // 2. broadcast join picked for dimension join
+    check("broadcast: orders x customer", wanted = Seq("BroadcastHashJoin")) {
+      SparkEntry.queries("q38_join_groupby")(spark, sfDir)
+    }
+
+    // 3. candidate generation: broadcast token join + partial aggregation
+    check("candidates: broadcast + partial agg",
+      wanted = Seq("BroadcastHashJoin", "HashAggregate")) {
+      SparkEntry.queries("q04_idf_candidates")(spark, sfDir)
+    }
+
+    // 4. whole-stage codegen covers the scorer-adjacent relational work
+    // (codegen stages print as "*(n)" in the executed plan's simple string)
+    check("codegen spans in scorer pairs", wanted = Seq("*(1)")) {
+      SparkEntry.queries("q31_scorer_pairs")(spark, sfDir)
+    }
+
+    // 5. window top-k stays a single shuffle + window (no extra sort jobs)
+    check("topk window", wanted = Seq("Window", "Exchange hashpartitioning")) {
+      SparkEntry.queries("q05_topk_window")(spark, sfDir)
+    }
+
+    // 6. transcript path reads only needed columns (mention detect projection)
+    check("detect scan prunes columns", wanted = Seq("ReadSchema"), unwanted = Seq("role")) {
+      import graft.model._
+      val dir = "/tmp/graft-planchk"
+      graft.sources.tables.writeTranscripts(
+        graft.sources.fixtures.transcripts(spark, graft.sources.fixtures.tiny).toDF(), dir)
+      graft.operators.mentions.detect(spark,
+        spark.read.parquet(dir).as[Turn],
+        graft.sources.fixtures.classes(spark, graft.sources.fixtures.tiny)
+          .filter(_.onto == "src").collect().toSeq).toDF()
+    }
+
+    spark.stop()
+  }
+}

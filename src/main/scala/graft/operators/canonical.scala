@@ -78,6 +78,18 @@ object canonical {
     labels
   }
 
+  /** Components of a 1-to-1 mapping set (a perfect matching — what
+    * repair.oneToOne guarantees): every component is a single edge, so the
+    * canonical representative is just the lexicographic min of the pair.
+    * No iteration, one projection — use this instead of
+    * connectedComponents when the matching invariant holds. */
+  def matchingComponents(matching: DataFrame): DataFrame = {
+    val c = least(col("entity1"), col("entity2")).as("canonical")
+    matching.select(col("entity1").as("id"), c)
+      .unionByName(matching.select(col("entity2").as("id"), c))
+      .distinct()
+  }
+
   /** Rewrite both endpoints of a mapping set to canonical representatives. */
   def canonicalize(mappings: DataFrame, components: DataFrame): DataFrame =
     mappings

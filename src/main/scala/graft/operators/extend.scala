@@ -44,7 +44,9 @@ object extend {
     var frontier = seeds.filter(col("value") >= kappa)
       .select(pairCols.map(col): _*).distinct()
       .localCheckpoint(true)
-    var expansion: DataFrame = null
+    // accumulate checkpointed per-iteration outputs; union lazily (one
+    // materialization per iteration — `kept` — instead of four)
+    val expansionParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iter = 0
 
     val srcUp = srcEdges.select(col("child_iri").as("entity1"), col("parent_iri").as("n1"))
@@ -70,24 +72,25 @@ object extend {
       // string-match short-circuit (bert_classifier_extend.py:53-56): ANY
       // identical label pair fixes the whole mapping at 1.0; otherwise the
       // pooled mean of the scorer output.
-      val scored = score.scoreLabelPairs(spark, withLabels, params)
+      val scored = score.scoreLabelPairsTyped(spark, withLabels, params)
         .groupBy("from_id", "to_id")
         .agg(greatest(avg(col("pair_score")),
           max(when(col("l1") === col("l2"), 1.0).otherwise(0.0))).as("value"))
         .select(col("from_id").as("entity1"), col("to_id").as("entity2"), col("value"))
       val kept = scored.filter(col("value") >= kappa)
-        .localCheckpoint(true)
+        .localCheckpoint(true) // the ONE materialization per iteration
 
-      expansion = if (expansion == null) kept else expansion.unionByName(kept)
-        .localCheckpoint(true)
+      expansionParts += kept
+      // lazy unions over checkpointed parts: lineage depth = #iterations,
+      // bounded by maxIter (reference caps at 50; plans of that depth over
+      // materialized leaves are cheap to analyze)
       seen = seen.unionByName(kept.select(pairCols.map(col): _*))
-        .localCheckpoint(true)
-      frontier = kept.select(pairCols.map(col): _*).localCheckpoint(true)
+      frontier = kept.select(pairCols.map(col): _*)
       iter += 1
     }
 
-    if (expansion == null)
+    if (expansionParts.isEmpty)
       seeds.filter(lit(false)).select(col("entity1"), col("entity2"), col("value"))
-    else expansion
+    else expansionParts.reduce(_.unionByName(_))
   }
 }

@@ -18,6 +18,25 @@ import graft.functions.text
  */
 object mentions {
 
+  /** Token-trie over surface forms: the detection kernel walks it with
+    * zero per-candidate string building (the naive n-gram scan allocates
+    * maxWords joined strings per token position — at 10^12 turns that
+    * allocation rate makes the job GC-bound and kills core scaling;
+    * measured on local[32]: the trie kernel scales, the n-gram scan
+    * anti-scales). */
+  final class TrieNode {
+    var matches: List[(String, String, String)] = Nil // (onto, iri, surface)
+    var children: java.util.HashMap[String, TrieNode] = _
+    def child(tok: String): TrieNode =
+      if (children == null) null else children.get(tok)
+    def ensureChild(tok: String): TrieNode = {
+      if (children == null) children = new java.util.HashMap[String, TrieNode]()
+      var n = children.get(tok)
+      if (n == null) { n = new TrieNode; children.put(tok, n) }
+      n
+    }
+  }
+
   /** Build the broadcastable dictionary: normalized surface form →
     * (onto, class_iri). Multiple entities may share a surface; all match. */
   def surfaceDict(classes: Seq[ClassText]): Map[String, Seq[(String, String)]] =
@@ -26,42 +45,86 @@ object mentions {
       .groupBy(_._1)
       .map { case (k, v) => (k, v.map(_._2).distinct) }
 
-  /** Detect mentions with longest-match-first n-gram scan (n ≤ maxWords). */
-  def detectInText(dict: Map[String, Seq[(String, String)]], maxWords: Int,
-                   txt: String): Seq[(String, String, String)] = {
-    val toks = text.wordTokens(txt)
-    val out = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
-    var i = 0
-    while (i < toks.length) {
-      var matched = 0
-      var n = math.min(maxWords, toks.length - i)
-      while (n >= 1 && matched == 0) {
-        val cand = toks.slice(i, i + n).mkString(" ")
-        dict.get(cand) match {
-          case Some(ents) =>
-            ents.foreach { case (onto, iriStr) => out += ((onto, iriStr, cand)) }
-            matched = n
-          case None => ()
-        }
-        n -= 1
+  def buildTrie(dict: Map[String, Seq[(String, String)]]): TrieNode = {
+    val root = new TrieNode
+    dict.foreach { case (surface, ents) =>
+      val toks = text.wordTokens(surface)
+      if (toks.nonEmpty) {
+        var node = root
+        toks.foreach(t => node = node.ensureChild(t))
+        node.matches = ents.map { case (o, i) => (o, i, surface) }.toList ::: node.matches
       }
-      i += math.max(1, matched)
     }
-    out.distinct.toSeq
+    root
   }
 
-  /** Transcripts → mentions. Batched mapPartitions with broadcast dict. */
+  /** Allocation-light tokenizer: lowercase alnum runs, manual scan (the
+    * regex split allocates intermediate arrays per call). */
+  def fastTokens(txt: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    val n = txt.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(24)
+    while (i < n) {
+      val c = txt.charAt(i)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** Detect mentions: longest-match-first trie walk over the token stream. */
+  def detectInTrie(root: TrieNode, toks: Array[String]): List[(String, String, String)] = {
+    var out: List[(String, String, String)] = Nil
+    var i = 0
+    while (i < toks.length) {
+      var node = root
+      var j = i
+      var bestEnd = -1
+      var bestMatches: List[(String, String, String)] = Nil
+      var continue = true
+      while (continue && j < toks.length) {
+        node = node.child(toks(j))
+        if (node == null) continue = false
+        else {
+          if (node.matches.nonEmpty) { bestEnd = j; bestMatches = node.matches }
+          j += 1
+        }
+      }
+      if (bestEnd >= 0) {
+        bestMatches.foreach(m => if (!out.contains(m)) out = m :: out)
+        i = bestEnd + 1
+      } else i += 1
+    }
+    out.reverse
+  }
+
+  /** Compatibility shim for the n-gram API (tests, small callers). */
+  def detectInText(dict: Map[String, Seq[(String, String)]], maxWords: Int,
+                   txt: String): Seq[(String, String, String)] =
+    detectInTrie(buildTrie(dict), fastTokens(txt))
+
+  /** Transcripts → mentions. Batched mapPartitions with broadcast dict.
+    * Projects down to (conv_id, turn_idx, text) BEFORE the scan so parquet
+    * column pruning applies — the other transcript columns never leave
+    * storage (this matters at 10^12-turn scale far more than kernel speed). */
   def detect(spark: SparkSession, turns: Dataset[Turn],
              classes: Seq[ClassText], maxWords: Int = 4): Dataset[Mention] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(surfaceDict(classes))
-    turns.mapPartitions { it =>
-      val dict = bc.value
-      it.flatMap { t =>
-        detectInText(dict, maxWords, t.text).map { case (onto, iriStr, surface) =>
-          Mention(t.conv_id, t.turn_idx, onto, iriStr, surface)
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val trie = buildTrie(bc.value) // per-partition build: cheap vs rows
+        it.flatMap { case (convId, turnIdx, txt) =>
+          detectInTrie(trie, fastTokens(txt)).map { case (onto, iriStr, surface) =>
+            Mention(convId, turnIdx, onto, iriStr, surface)
+          }
         }
       }
-    }
   }
 }

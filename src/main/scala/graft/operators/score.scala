@@ -77,6 +77,32 @@ object score {
   }
 
   /**
+   * Typed-Dataset variant of the scorer for string-keyed pairs: a
+   * MapPartitions *logical* node, so Catalyst/AQE still own the plan
+   * around it (the df.rdd route above compiles its upstream
+   * non-adaptively and inserts an optimization barrier — fine for a
+   * terminal hop, costly mid-pipeline).
+   */
+  def scoreLabelPairsTyped(spark: SparkSession, pairs: DataFrame,
+                           params: ScorerParams = ScorerParams()): DataFrame = {
+    import spark.implicits._
+    val bc: Broadcast[ScorerParams] = spark.sparkContext.broadcast(params)
+    pairs.select(col("from_id").cast("string"), col("to_id").cast("string"),
+        col("l1"), col("l2"))
+      .as[(String, String, String, String)]
+      .mapPartitions { it =>
+        val p = bc.value
+        it.grouped(p.batchSize).flatMap { rows =>
+          val scores = scoreBatch(p, rows.map(r => (r._3, r._4)).toArray)
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            (r._1, r._2, r._3, r._4, scores(i))
+          }
+        }
+      }
+      .toDF("from_id", "to_id", "l1", "l2", "pair_score")
+  }
+
+  /**
    * String-match short-circuit with candidate abandonment
    * (bert_classifier_map.py:119-123 — an exact label match returns
    * [(to, 1.0)] immediately, dropping the from-class's *other* candidates).

@@ -48,21 +48,24 @@ object Pipeline {
         explode(text.normalizeLabelsCol(col("labels"))).as("label"))
       .distinct()
 
-  /** One alignment direction: fix `from` side, search `to` side
-    * (bert_classifier_map.py:54-88). Returns (from_id, to_id, score). */
-  def alignOneSide(spark: SparkSession, fromLabels: DataFrame, toLabels: DataFrame,
-                   p: Params): DataFrame = {
-    val toIds = toLabels.select("id").distinct()
-    val d = toIds.count()
-
-    val posting = toLabels
+  /** Token postings of one side, shared by both alignment directions
+    * (the same explode+distinct serves as index postings and as query
+    * tokens — build once, cache). */
+  def sidePostings(labels: DataFrame, tokenCut: Int): DataFrame =
+    labels
       .select(col("id").as("class_id"), explode(text.wordTokensCol(col("label"))).as("token"))
-      .filter(length(col("token")) > p.tokenCut).distinct()
-    val qTokens = fromLabels
-      .select(col("id").as("query_id"), explode(text.wordTokensCol(col("label"))).as("token"))
-      .filter(length(col("token")) > p.tokenCut).distinct()
+      .filter(length(col("token")) > tokenCut).distinct()
 
-    val cands = index.idfCandidates(qTokens, posting, d, p.candidateLimit,
+  /** One alignment direction: fix `from` side, search `to` side
+    * (bert_classifier_map.py:54-88). Returns (from_id, to_id, score).
+    * `fromPostings`/`toPostings` are the cached outputs of `sidePostings`;
+    * `d` is the to-side catalog size (computed once by the caller). */
+  def alignOneSide(spark: SparkSession, fromLabels: DataFrame, toLabels: DataFrame,
+                   fromPostings: DataFrame, toPostings: DataFrame, d: Long,
+                   p: Params): DataFrame = {
+    val qTokens = fromPostings.withColumnRenamed("class_id", "query_id")
+
+    val cands = index.idfCandidates(qTokens, toPostings, d, p.candidateLimit,
         p.maxDfFrac, p.saltBuckets)
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
 
@@ -74,49 +77,104 @@ object Pipeline {
       .join(fromLabels.select(col("id").as("from_id"), col("label").as("l1")), "from_id")
       .join(toLabels.select(col("id").as("to_id"), col("label").as("l2")), "to_id")
       .select("from_id", "to_id", "l1", "l2")
-    val pooled = score.pool(score.scoreLabelPairs(spark, pairs, p.scorer), p.pooling)
+    val pooled = score.pool(score.scoreLabelPairsTyped(spark, pairs, p.scorer), p.pooling)
 
     val all = matched.select("from_id", "to_id", "score")
       .unionByName(pooled.select("from_id", "to_id", "score"))
     align.nBest(score.clamp(all), p.nbest)
   }
 
-  /** Both directions + union (onto_map.py:146). */
+  /** Both directions + union (onto_map.py:146). Postings built once per
+    * side and shared across the two directions. */
   def rawMappings(spark: SparkSession, srcLabels: DataFrame, tgtLabels: DataFrame,
                   p: Params): DataFrame = {
-    val s2t = align.orient(alignOneSide(spark, srcLabels, tgtLabels, p), fromIsSrc = true)
-    val t2s = align.orient(alignOneSide(spark, tgtLabels, srcLabels, p), fromIsSrc = false)
+    val srcPost = sidePostings(srcLabels, p.tokenCut).cache()
+    val tgtPost = sidePostings(tgtLabels, p.tokenCut).cache()
+    // one action for both catalog sizes (every extra tiny SQL execution
+    // costs real wall time on the serial critical path)
+    val sizes = srcLabels.select(lit("src").as("s"), col("id"))
+      .unionByName(tgtLabels.select(lit("tgt").as("s"), col("id")))
+      .groupBy("s").agg(countDistinct("id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dSrc = sizes.getOrElse("src", 0L)
+    val dTgt = sizes.getOrElse("tgt", 0L)
+    val s2t = align.orient(
+      alignOneSide(spark, srcLabels, tgtLabels, srcPost, tgtPost, dTgt, p),
+      fromIsSrc = true)
+    val t2s = align.orient(
+      alignOneSide(spark, tgtLabels, srcLabels, tgtPost, srcPost, dSrc, p),
+      fromIsSrc = false)
     align.combine(s2t, t2s)
   }
 
   /** Full run over in-memory inputs; returns (mappings, triples). */
   def run(spark: SparkSession, turns: Dataset[Turn], classes: Dataset[ClassText],
           edges: Dataset[Edge], p: Params = Params()): (DataFrame, DataFrame) = {
-    val srcLabels = sideLabels(classes, "src")
-    val tgtLabels = sideLabels(classes, "tgt")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    // The transcript-proportional stage (mention detect over 10^12 turns at
+    // target scale) is independent of the catalog-side alignment chain —
+    // submit it concurrently so the alignment chain's many small jobs hide
+    // behind the big scan instead of serializing after it. On a cluster
+    // these are two independent stage DAGs the scheduler runs side by side.
+    val mensF = Future {
+      val dict = classes.filter(col("onto") === "src").collect().toSeq
+      val m = mentions.detect(spark, turns, dict).toDF().cache()
+      m.count()
+      m
+    }
+
+    // catalog sides are dimension tables: cache once, reused ~6 times
+    val srcLabels = sideLabels(classes, "src").cache()
+    val tgtLabels = sideLabels(classes, "tgt").cache()
 
     val raw = align.atThreshold(rawMappings(spark, srcLabels, tgtLabels, p), p.threshold)
       .localCheckpoint(true)
 
-    val srcEdges = edges.toDF().filter(col("onto") === "src").select("child_iri", "parent_iri")
-    val tgtEdges = edges.toDF().filter(col("onto") === "tgt").select("child_iri", "parent_iri")
+    val srcEdges = edges.toDF().filter(col("onto") === "src")
+      .select("child_iri", "parent_iri").cache()
+    val tgtEdges = edges.toDF().filter(col("onto") === "tgt")
+      .select("child_iri", "parent_iri").cache()
 
     val expansion = extend.extendMappings(spark, raw, srcEdges, tgtEdges,
       srcLabels, tgtLabels, p.kappa, p.maxExtendIter, p.scorer)
+    // lazy: raw and the expansion parts are already materialized, so the
+    // downstream re-reads recompute only a small groupBy — cheaper than a
+    // dedicated checkpoint execution on the serial path
     val extended = raw.unionByName(expansion)
       .groupBy("entity1", "entity2").agg(max(col("value")).as("value"))
 
     val repaired = repair.repairMappings(extended, srcEdges, tgtEdges)
+      .localCheckpoint(true)
 
-    val mens = mentions.detect(spark, turns,
-      classes.filter(col("onto") === "src").collect().toSeq)
+    val mens = Await.result(mensF, Duration.Inf)
 
-    val comps = canonical.connectedComponents(spark, repaired)
-    val canon = canonical.canonicalize(repaired, comps)
-      .groupBy("entity1", "entity2").agg(max(col("value")).as("value"))
+    // repaired is 1-to-1 by construction (repair.oneToOne), so components
+    // are single edges — the O(1)-round rule replaces the iterative CC
+    // (canonical.connectedComponents stays the general-graph operator)
+    val comps = canonical.matchingComponents(repaired)
 
-    val trip = canonical.triples(canon, mens.toDF(),
-      srcEdges.unionByName(tgtEdges))
+    // canonicalization rewrites the *references* to entities (mentions,
+    // hierarchy) onto canonical ids; the sameAs edges keep their original
+    // endpoints — they ARE the alignment evidence
+    val mensCanon = mens
+      .join(broadcast(comps.select(col("id").as("class_iri"), col("canonical"))),
+        Seq("class_iri"), "left")
+      .select(col("conv_id"), col("turn_idx"), col("onto"),
+        coalesce(col("canonical"), col("class_iri")).as("class_iri"), col("surface"))
+    val broaderCanon = srcEdges.unionByName(tgtEdges)
+      .join(broadcast(comps.select(col("id").as("child_iri"), col("canonical").as("cc"))),
+        Seq("child_iri"), "left")
+      .join(broadcast(comps.select(col("id").as("parent_iri"), col("canonical").as("cp"))),
+        Seq("parent_iri"), "left")
+      .select(coalesce(col("cc"), col("child_iri")).as("child_iri"),
+        coalesce(col("cp"), col("parent_iri")).as("parent_iri"))
+      .filter(col("child_iri") =!= col("parent_iri"))
+      .distinct()
+
+    val trip = canonical.triples(repaired, mensCanon, broaderCanon)
     (repaired, trip)
   }
 

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model._
+import graft.sources.{fixtures, tables}
+import graft.streaming.stream
+
+class SourcesStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mapping TSV roundtrip keeps literal 'null'/'n/a' strings (NA contract)") {
+    val dir = Files.createTempDirectory("graft-tsv").toString + "/maps"
+    val m = Seq(("null", "n/a", 0.5), ("a", "NULL", 1.0))
+      .toDF("entity1", "entity2", "value")
+    tables.writeMappingsTsv(m, dir)
+    val back = tables.readMappingsTsv(spark, dir)
+      .as[(String, String, Double)].collect().toSet
+    assert(back == Set(("null", "n/a", 0.5), ("a", "NULL", 1.0)))
+  }
+
+  test("transcript table roundtrip: bucketed write, asserted-schema read") {
+    val dir = Files.createTempDirectory("graft-tt").toString + "/transcripts"
+    val t = fixtures.transcripts(spark, fixtures.tiny)
+    tables.writeTranscripts(t.toDF(), dir)
+    val back = tables.readTranscripts(spark, dir)
+    assert(back.count() == t.count())
+    assert(back.columns.toSeq == Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    // schema assertion fires on a wrong table
+    val badDir = Files.createTempDirectory("graft-bad").toString + "/x"
+    Seq((1, "a")).toDF("k", "v").write.parquet(badDir)
+    intercept[IllegalArgumentException](tables.readTranscripts(spark, badDir))
+  }
+
+  test("triples sink partitioned by pred; partition pruning applies") {
+    val dir = Files.createTempDirectory("graft-tr").toString + "/graph"
+    val t = Seq(("a", "sameAs", "b", 1.0), ("c#1", "mentions", "a", 1.0))
+      .toDF("subj", "pred", "obj", "score")
+    tables.writeTriples(t, dir)
+    val sameAs = tables.readTriples(spark, dir).filter($"pred" === "sameAs")
+    assert(sameAs.count() == 1)
+    val plan = sameAs.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("pred"))
+  }
+
+  test("streaming mention detect over MemoryStream emits same rows as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val classes = Seq(ClassText("src", "src:C1", 0L, Seq("heart failure")))
+    val turns = Seq(
+      Turn("c1", 0, "user", "about heart failure", null, new Timestamp(1000L)),
+      Turn("c1", 1, "assistant", "nothing", null, new Timestamp(2000L)))
+
+    val ms = MemoryStream[Turn]
+    val out = stream.detectStream(spark, ms.toDS(), classes)
+    val q = out.writeStream.format("memory").queryName("mentions_out")
+      .outputMode("append").start()
+    ms.addData(turns: _*)
+    q.processAllAvailable()
+    val rows = spark.sql("select conv_id, turn_idx, class_iri from mentions_out")
+      .as[(String, Int, String)].collect().toSet
+    q.stop()
+    assert(rows == Set(("c1", 0, "src:C1")))
+  }
+
+  test("windowed mention rate with watermark (streaming agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val classes = Seq(ClassText("src", "src:C1", 0L, Seq("alpha")))
+    val ms = MemoryStream[Turn]
+    val agg = stream.mentionRate(stream.detectStream(spark, ms.toDS(), classes))
+    val q = agg.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    ms.addData(
+      Turn("c1", 0, "user", "alpha one", null, new Timestamp(0L)),
+      Turn("c1", 1, "user", "alpha two", null, new Timestamp(60000L)))
+    q.processAllAvailable()
+    // push the watermark far forward so the first window closes
+    ms.addData(Turn("c2", 0, "user", "alpha late", null, new Timestamp(7200000L)))
+    q.processAllAvailable()
+    val rows = spark.sql("select class_iri, n_mentions from rate_out")
+      .as[(String, Long)].collect().toList
+    q.stop()
+    assert(rows.contains(("src:C1", 2L)))
+  }
+
+  test("Main: staged run resumes from manifests (second run reuses stages)") {
+    val work = Files.createTempDirectory("graft-main").toString
+    graft.plans.Main.main(Array("fixture:40", "fixture", work))
+    val m1 = graft.plans.lineage.readManifest(s"$work/triples")
+    assert(m1.isDefined && m1.get.rows > 0)
+    // second run must hit the manifests (same fingerprint, same rows)
+    graft.plans.Main.main(Array("fixture:40", "fixture", work))
+    val m2 = graft.plans.lineage.readManifest(s"$work/triples")
+    assert(m2.get.fingerprint == m1.get.fingerprint && m2.get.rows == m1.get.rows)
+    assert(spark.read.parquet(s"$work/graph").count() == m1.get.rows)
+  }
+}
