@@ -350,6 +350,35 @@ object SparkEntry {
         .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"),
           count(lit(1)).as("n_orders"))),
 
+    // --- §2.4 vector mean (class embedding), long form ----------------------
+    "q41_class_embedding" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("dim", col("dim").cast("long"))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))),
+
+    // --- §2.7 class depth via iterative frontier join ------------------------
+    "q42_depth" -> ((s, dir) => {
+      val e = t(s, dir, "orders").filter(col("o_orderkey") >= 10)
+        .select(col("o_orderkey").as("child_iri"),
+          (col("o_orderkey") / 10).cast("long").as("parent_iri"))
+        .distinct()
+      hierarchy.depthMax(s, e)
+    }),
+
+    // --- §2.2 IRI abbreviate / expand ----------------------------------------
+    "q43_iri_abbrev" -> ((s, dir) => {
+      val prefixes = Map("http://example.org/part/" -> "px",
+        "http://example.org/supplier/" -> "sx")
+      val base = t(s, dir, "part").select(
+        concat(lit("http://example.org/part/"), col("p_partkey")).as("iri"))
+      base.select(col("iri"),
+        graft.functions.iri.abbreviate(col("iri"), prefixes).as("abbrev"))
+        .withColumn("roundtrip",
+          graft.functions.iri.expand(col("abbrev"), prefixes))
+    }),
+
     // --- non-SQL-expressible ops (rows-only checks) --------------------------
     "q39_extend_loop" -> ((s, dir) => {
       val e = t(s, dir, "nation").join(t(s, dir, "region"),
@@ -689,6 +718,33 @@ object SparkEntry {
           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
           |  count(*) AS n
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q41_class_embedding" ->
+        """SELECT label, g.g - 1 AS dim, round(avg(embedding[g.g]::DOUBLE), 6) AS mean_v
+          |FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(g)
+          |GROUP BY label, g.g - 1""".stripMargin,
+
+      "q42_depth" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT DISTINCT o_orderkey AS child, CAST(o_orderkey // 10 AS BIGINT) AS parent
+          |  FROM orders WHERE o_orderkey >= 10),
+          |nodes AS (SELECT child AS id FROM e UNION SELECT parent FROM e),
+          |roots AS (SELECT id FROM nodes WHERE id NOT IN (SELECT child FROM e)),
+          |d AS (
+          |  SELECT id, CAST(0 AS BIGINT) AS depth FROM roots
+          |  UNION ALL
+          |  SELECT e.child, d.depth + 1 FROM d JOIN e ON e.parent = d.id)
+          |SELECT id, max(depth) AS depth FROM d GROUP BY id""".stripMargin,
+
+      "q43_iri_abbrev" ->
+        """SELECT iri,
+          |  CASE WHEN starts_with(iri, 'http://example.org/part/')
+          |       THEN 'px:' || substr(iri, length('http://example.org/part/') + 1)
+          |       WHEN starts_with(iri, 'http://example.org/supplier/')
+          |       THEN 'sx:' || substr(iri, length('http://example.org/supplier/') + 1)
+          |       ELSE iri END AS abbrev,
+          |  iri AS roundtrip
+          |FROM (SELECT 'http://example.org/part/' || p_partkey AS iri FROM part)""".stripMargin,
 
       "q38_join_groupby" ->
         """SELECT c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue, count(*) AS n_orders

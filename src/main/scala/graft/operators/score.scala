@@ -103,6 +103,40 @@ object score {
   }
 
   /**
+   * Deterministic sentence embedder — the stand-in for the reference's
+   * `bertembeds` mode (bert_static.py:34-75: masked mean of hidden states).
+   * Hashed bag-of-words features over word tokens: a pure function of the
+   * text, batched in mapPartitions like the scorer (swap in a real encoder
+   * by replacing `embedKernel` only). L2-normalized so dot = cosine.
+   */
+  def embedKernel(s: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    text.wordTokens(s).foreach { t =>
+      val h = t.hashCode
+      v(math.floorMod(h, dim)) += (if (((h >>> 16) & 1) == 0) 1f else -1f)
+    }
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n > 0) { var i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+    v
+  }
+
+  /** (id, text) -> (id, embedding: array<float>), batched mapPartitions. */
+  def embedSentences(spark: SparkSession, df: DataFrame, idCol: String,
+                     textCol: String, dim: Int = 64,
+                     batchSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("txt"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "forward pass" per batch
+          batch.iterator.map { case (id, s) => (id, embedKernel(s, dim)) }
+        }
+      }
+      .toDF("id", "embedding")
+  }
+
+  /**
    * String-match short-circuit with candidate abandonment
    * (bert_classifier_map.py:119-123 — an exact label match returns
    * [(to, 1.0)] immediately, dropping the from-class's *other* candidates).

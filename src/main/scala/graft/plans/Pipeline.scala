@@ -98,13 +98,19 @@ object Pipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dSrc = sizes.getOrElse("src", 0L)
     val dTgt = sizes.getOrElse("tgt", 0L)
-    val s2t = align.orient(
+    // each direction is an independent ~40-operator DAG whose Catalyst
+    // analysis/optimization is serial driver CPU (~2s each measured);
+    // plan + materialize them on concurrent threads
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s2tF = Future(align.orient(
       alignOneSide(spark, srcLabels, tgtLabels, srcPost, tgtPost, dTgt, p),
-      fromIsSrc = true)
-    val t2s = align.orient(
+      fromIsSrc = true).localCheckpoint(true))
+    val t2sF = Future(align.orient(
       alignOneSide(spark, tgtLabels, srcLabels, tgtPost, srcPost, dSrc, p),
-      fromIsSrc = false)
-    align.combine(s2t, t2s)
+      fromIsSrc = false).localCheckpoint(true))
+    align.combine(Await.result(s2tF, Duration.Inf), Await.result(t2sF, Duration.Inf))
   }
 
   /** Full run over in-memory inputs; returns (mappings, triples). */

@@ -77,4 +77,16 @@ class ScoreAlignSpec extends SparkSuite {
     val a = Seq(("x", "y", 0.7), ("x", "z", 0.4)).toDF("entity1", "entity2", "value")
     assert(align.atThreshold(a, 0.5).count() == 1)
   }
+
+  test("embedSentences: deterministic, L2-normalized, cosine-ready") {
+    val df = Seq((1L, "heart failure"), (2L, "heart failure"), (3L, "kidney stone"))
+      .toDF("id", "txt")
+    val out = graft.operators.score.embedSentences(spark, df, "id", "txt", dim = 16)
+      .as[(String, Array[Float])].collect().toMap
+    assert(out("1").toList == out("2").toList)        // pure function of text
+    val n = math.sqrt(out("1").map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)                  // unit norm
+    val dot = out("1").zip(out("3")).map { case (a, b) => a * b }.sum
+    assert(dot < 0.99)                                // different texts differ
+  }
 }
