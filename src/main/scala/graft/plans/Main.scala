@@ -29,8 +29,10 @@ object Main {
     val workDir = args.lift(2).getOrElse("/tmp/graft-work")
 
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    val spark = SparkSession.builder()
-      .appName("graft-kg-construct")
+    val builder0 = SparkSession.builder().appName("graft-kg-construct")
+    // spark-submit injects spark.master; standalone sbt runs default local
+    val spark = (if (sys.props.contains("spark.master") || preexisting.nonEmpty) builder0
+      else builder0.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
@@ -77,11 +79,20 @@ object Main {
     }
 
     tables.writeTriples(triples, s"$workDir/graph")
-    val byPred = spark.read.parquet(s"$workDir/graph")
+    val predCounts = spark.read.parquet(s"$workDir/graph")
       .groupBy("pred").count().collect()
-      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val byPred = predCounts.map { case (p, n) => s"$p=$n" }.mkString(", ")
     println(s"[graft] mappings=${mappings.count()} triples by pred: $byPred; " +
       s"turns seen (accumulator)=${turnsSeen.value}")
+    // run metrics alongside the stage manifests (north_rule: resumable with
+    // per-partition lineage + metrics)
+    val metricsJson = predCounts.map { case (p, n) => s""""$p":$n""" }
+      .mkString(
+        s"""{"mappings":${mappings.count()},"turns_seen":${turnsSeen.value},"triples":{""",
+        ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$workDir/metrics.json"),
+      metricsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (preexisting.isEmpty) spark.stop() // under spark-submit we own it
   }
 }
