@@ -102,6 +102,19 @@ object mentions {
     out.reverse
   }
 
+  /** Per-conversation stabilization: the BASELINE invariant device —
+    * windows over (conv_id, turn_idx) pin a total order on the mention
+    * stream regardless of partitioning, and duplicate (turn, entity)
+    * evidence collapses deterministically. `mention_ord` is the stable
+    * per-conversation ordinal downstream consumers key on. */
+  def stabilize(mens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").asc, col("class_iri").asc, col("surface").asc)
+    mens.dropDuplicates("conv_id", "turn_idx", "onto", "class_iri")
+      .withColumn("mention_ord", row_number().over(w))
+  }
+
   /** Compatibility shim for the n-gram API (tests, small callers). */
   def detectInText(dict: Map[String, Seq[(String, String)]], maxWords: Int,
                    txt: String): Seq[(String, String, String)] =

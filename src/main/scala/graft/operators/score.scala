@@ -159,6 +159,36 @@ object score {
     (matched, remaining)
   }
 
+  /**
+   * Single-pass fusion of string-match + scoring + pooling: per class pair
+   * compute the pooled scorer output AND an exact-label flag, then a
+   * window over the from-class implements the candidate-abandonment rule
+   * (a from-class with ANY exact match keeps ONLY its exact pairs at 1.0
+   * — bert_classifier_map.py:119-123) without the anti-join/union plan of
+   * `stringMatchSplit`. Semantically identical; roughly halves the
+   * alignment DAG (planning latency is serial driver cost). Trade-off:
+   * the scorer also runs on the abandoned pairs — free for the lexical
+   * scorer; with an expensive neural scorer prefer `stringMatchSplit`,
+   * which skips them entirely.
+   */
+  def scorePooledWithStringMatch(spark: SparkSession, pairs: DataFrame,
+                                 pooling: String,
+                                 params: ScorerParams = ScorerParams()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pooling == "mean" || pooling == "max")
+    val agg = if (pooling == "mean") avg(col("pair_score")) else max(col("pair_score"))
+    val perPair = scoreLabelPairsTyped(spark, pairs, params)
+      .groupBy("from_id", "to_id")
+      .agg(agg.as("pooled"),
+        max(when(col("l1") === col("l2"), 1).otherwise(0)).as("is_exact"))
+    val w = Window.partitionBy("from_id")
+    perPair
+      .withColumn("any_exact", max(col("is_exact")).over(w))
+      .filter(col("any_exact") === 0 || col("is_exact") === 1)
+      .select(col("from_id"), col("to_id"),
+        when(col("is_exact") === 1, 1.0).otherwise(col("pooled")).as("score"))
+  }
+
   /** Per-class-pair pooling of label-pair scores: mean (default) or max
     * (batch_pooling, bert_classifier_map.py:155-159). */
   def pool(scored: DataFrame, strategy: String = "mean"): DataFrame = {

@@ -69,18 +69,14 @@ object Pipeline {
         p.maxDfFrac, p.saltBuckets)
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
 
-    val (matched, remaining) = score.stringMatchSplit(cands,
-      fromLabels.select(col("id").as("from_id"), col("label")),
-      toLabels.select(col("id").as("to_id"), col("label")))
-
-    val pairs = remaining
+    val pairs = cands
       .join(fromLabels.select(col("id").as("from_id"), col("label").as("l1")), "from_id")
       .join(toLabels.select(col("id").as("to_id"), col("label").as("l2")), "to_id")
       .select("from_id", "to_id", "l1", "l2")
-    val pooled = score.pool(score.scoreLabelPairsTyped(spark, pairs, p.scorer), p.pooling)
-
-    val all = matched.select("from_id", "to_id", "score")
-      .unionByName(pooled.select("from_id", "to_id", "score"))
+    // fused string-match + scoring (see scorePooledWithStringMatch: same
+    // semantics as the stringMatchSplit anti-join path, half the plan; the
+    // split path remains the choice for expensive neural scorers)
+    val all = score.scorePooledWithStringMatch(spark, pairs, p.pooling, p.scorer)
     align.nBest(score.clamp(all), p.nbest)
   }
 
@@ -127,7 +123,9 @@ object Pipeline {
     // these are two independent stage DAGs the scheduler runs side by side.
     val mensF = Future {
       val dict = classes.filter(col("onto") === "src").collect().toSeq
-      val m = mentions.detect(spark, turns, dict).toDF().cache()
+      // stabilize = the per-conversation ordering window over
+      // (conv_id, turn_idx) from the BASELINE invariant
+      val m = mentions.stabilize(mentions.detect(spark, turns, dict).toDF()).cache()
       m.count()
       m
     }

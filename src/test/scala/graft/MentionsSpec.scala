@@ -44,4 +44,21 @@ class MentionsSpec extends SparkSuite {
     val n = mentions.detect(spark, turns, cls).count()
     assert(n > 0)
   }
+
+  test("stabilize: dense per-conversation ordinals, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val mens = Seq(
+      ("c1", 1, "src", "e2", "x"), ("c1", 0, "src", "e1", "y"),
+      ("c1", 1, "src", "e2", "x"), // duplicate evidence collapses
+      ("c2", 0, "src", "e1", "y"))
+      .toDF("conv_id", "turn_idx", "onto", "class_iri", "surface")
+    val a = mentions.stabilize(mens.repartition(7))
+      .select("conv_id", "turn_idx", "class_iri", "mention_ord")
+      .as[(String, Int, String, Int)].collect().toSet
+    val b = mentions.stabilize(mens.repartition(2))
+      .select("conv_id", "turn_idx", "class_iri", "mention_ord")
+      .as[(String, Int, String, Int)].collect().toSet
+    assert(a == b)
+    assert(a == Set(("c1", 0, "e1", 1), ("c1", 1, "e2", 2), ("c2", 0, "e1", 1)))
+  }
 }
