@@ -89,7 +89,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000000").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2400000").toInt
     // N -> 4N scaling pair at (2, 8): measured pure-CPU ceiling of this
     // sandbox VM is ~2.4x from 8->32 busy cores (all-core frequency
     // scaling), so the 8/32 pair cannot evidence algorithmic scaling even
