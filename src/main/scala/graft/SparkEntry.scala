@@ -336,10 +336,14 @@ object SparkEntry {
 
     // --- classic relational headliners (pushdown/agg/join sanity) -----------
     "q37_agg_baseline" -> ((s, dir) =>
+      // sums accumulate in exact decimal (order-independent), then cast to
+      // DOUBLE for emission: Spark widens sum(decimal(12,2)) to decimal(22,2)
+      // while DuckDB widens to decimal(38,2), and the two decimal widths
+      // render differently in the driver's hash — a common DOUBLE does not
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"),
+        .agg(round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double"), 2).as("sum_price"),
           count(lit(1)).as("n"))),
 
     "q38_join_groupby" -> ((s, dir) =>
@@ -444,7 +448,7 @@ object SparkEntry {
            |d AS (SELECT count(*) AS d FROM documents),
            |w AS (SELECT p.token, p.class_id, CAST(floor(1000000 * d.d / df.df) AS BIGINT) AS w
            |      FROM posting p JOIN df USING (token) CROSS JOIN d),
-           |summed AS (SELECT q.query_id, w.class_id, SUM(w.w) AS idf_w FROM q JOIN w USING (token) GROUP BY 1, 2),
+           |summed AS (SELECT q.query_id, w.class_id, CAST(SUM(w.w) AS BIGINT) AS idf_w FROM q JOIN w USING (token) GROUP BY 1, 2),
            |ranked AS (SELECT query_id, class_id, idf_w,
            |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idf_w DESC, class_id ASC) AS rnk FROM summed)
            |SELECT query_id, class_id, idf_w, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
@@ -517,21 +521,21 @@ object SparkEntry {
           |  FROM pre0 p
           |  LEFT JOIN (SELECT entity1, entity2 FROM ign) i USING (entity1, entity2)
           |  LEFT JOIN (SELECT entity1, entity2 FROM refk) r USING (entity1, entity2)),
-          |th AS (SELECT unnest([0.0, 0.02, 0.05, 0.07, 0.09, 0.1]) AS threshold),
+          |th AS (SELECT CAST(unnest([0.0, 0.02, 0.05, 0.07, 0.09, 0.1]) AS DOUBLE) AS threshold),
           |agg AS (
           |  SELECT th.threshold,
-          |    SUM(CASE WHEN is_ign = 0 THEN 1 ELSE 0 END) AS n_mappings,
-          |    SUM(is_ign) AS n_ignored,
-          |    SUM(CASE WHEN is_ign = 0 AND in_ref = 1 THEN 1 ELSE 0 END) AS tp
-          |  FROM flagged JOIN th ON flagged.value >= th.threshold GROUP BY th.threshold)
-          |SELECT threshold, n_mappings, n_ignored,
-          |  CASE WHEN n_mappings = 0 THEN -1.0 ELSE tp / n_mappings END AS p,
-          |  CASE WHEN (SELECT n_ref FROM nref) = 0 THEN -1.0 ELSE tp / (SELECT n_ref FROM nref) END AS r,
-          |  CASE WHEN (CASE WHEN n_mappings = 0 THEN -1.0 ELSE tp / n_mappings END) <= 0.0
-          |         OR (CASE WHEN (SELECT n_ref FROM nref) = 0 THEN -1.0 ELSE tp / (SELECT n_ref FROM nref) END) <= 0.0 THEN 0.0
-          |       ELSE 2 * (tp / n_mappings) * (tp / (SELECT n_ref FROM nref))
-          |            / ((tp / n_mappings) + (tp / (SELECT n_ref FROM nref))) END AS f1
-          |FROM agg""".stripMargin,
+          |    CAST(SUM(CASE WHEN is_ign = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mappings,
+          |    CAST(SUM(is_ign) AS BIGINT) AS n_ignored,
+          |    CAST(SUM(CASE WHEN is_ign = 0 AND in_ref = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          |  FROM flagged JOIN th ON flagged.value >= th.threshold GROUP BY th.threshold),
+          |raw AS (
+          |  SELECT threshold, n_mappings, n_ignored,
+          |    CASE WHEN n_mappings = 0 THEN -1.0 ELSE tp / n_mappings END AS p,
+          |    CASE WHEN (SELECT n_ref FROM nref) = 0 THEN -1.0 ELSE tp / (SELECT n_ref FROM nref) END AS r
+          |  FROM agg)
+          |SELECT threshold, n_mappings, n_ignored, round(p, 6) AS p, round(r, 6) AS r,
+          |  round(CASE WHEN p <= 0.0 OR r <= 0.0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS f1
+          |FROM raw""".stripMargin,
 
       "q32_intra_synonyms" ->
         """SELECT DISTINCT a.p_name AS sent1, b.p_name AS sent2, 1 AS label, 'syn' AS kind
@@ -714,8 +718,8 @@ object SparkEntry {
 
       "q37_agg_baseline" ->
         """SELECT l_returnflag, l_linestatus,
-          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-          |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
           |  count(*) AS n
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 

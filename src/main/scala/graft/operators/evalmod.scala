@@ -132,7 +132,12 @@ object evalmod {
       .withColumn("r", when(lit(nRef) === 0.0, -1.0).otherwise(col("tp") / lit(nRef)))
       .withColumn("f1", when(col("p") <= 0.0 || col("r") <= 0.0, 0.0)
         .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))))
-      .select("threshold", "n_mappings", "n_ignored", "p", "r", "f1")
+      // repo determinism rule: round(_, 6) on any float that crosses an
+      // engine boundary (f1 computed from the raw p/r first, then all three
+      // rounded for emission)
+      .select(col("threshold"), col("n_mappings"), col("n_ignored"),
+        round(col("p"), 6).as("p"), round(col("r"), 6).as("r"),
+        round(col("f1"), 6).as("f1"))
   }
 
   /** Best hyper-parameter row: max F1, deterministic tie-break on lower

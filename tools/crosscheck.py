@@ -1,16 +1,26 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir> [--strict]
 
 For each query dir under verifyOutDir: load the Spark parquet, run the
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables, compare
-(column names sorted, rows sorted, values rounded-insensitive exact).
+(column names sorted, rows sorted, values exact).
+
+Two render modes:
+  default  — floats via %.9g (loose; historical behavior)
+  --strict — raw repr() of every value, no rounding: catches the
+             type-boundary mismatches the driver's hash catches (int64 vs
+             HUGEINT-as-float, decimal-width differences) that %.9g hides.
+
+The gate also FAILS (not skips) when a query listed in queries.json has no
+output dir — a crashed query must not silently shrink the gate.
 """
 import sys, json, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+strict = "--strict" in sys.argv[3:]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -19,6 +29,8 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+qlist_path = f"{out_dir}/_queries.json"
+expected = set(json.load(open(qlist_path))) if os.path.exists(qlist_path) else set()
 
 def canon(df):
     cols = sorted(df.columns)
@@ -27,16 +39,18 @@ def canon(df):
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
-            if isinstance(v, float):
+            if not strict and isinstance(v, float):
                 vals.append(f"{v:.9g}")
             else:
-                vals.append(str(v))
+                vals.append(repr(v) if strict else str(v))
         rows.append("\x1f".join(vals))
     return cols, sorted(rows)
 
 n_pass = n_fail = n_skip = 0
+found = set()
 for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     name = os.path.basename(qdir)
+    found.add(name)
     spark_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
     if name not in oracle:
         print(f"SKIP  {name:28s} rows={len(spark_df)} (rows-only check)")
@@ -53,6 +67,10 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         continue
     sc, sr = canon(spark_df)
     dc, dr = canon(duck_df)
+    sdt = {c: str(spark_df[c].dtype) for c in spark_df.columns}
+    ddt = {c: str(duck_df[c].dtype) for c in duck_df.columns}
+    if sdt != ddt:
+        print(f"WARN  {name:28s} pandas dtypes differ: spark={sdt} duck={ddt}")
     if sc != dc:
         print(f"FAIL  {name:28s} columns differ: spark={sc} duck={dc}")
         n_fail += 1
@@ -68,5 +86,13 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     else:
         print(f"PASS  {name:28s} rows={len(sr)}")
         n_pass += 1
+
+# every declared query must have produced an output dir (ADVICE: a throwing
+# query must fail the gate, not shrink it)
+missing = expected - found
+for name in sorted(missing):
+    print(f"FAIL  {name:28s} declared in queries.json but no output dir (query crashed?)")
+    n_fail += 1
+
 print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
 sys.exit(1 if n_fail else 0)
