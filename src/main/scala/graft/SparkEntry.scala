@@ -233,6 +233,9 @@ object SparkEntry {
     "q24_simhash" -> ((s, dir) =>
       dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
+    "q44_simhash_pairs" -> ((s, dir) =>
+      dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
+
     "q27_embed_neardup" -> ((s, dir) =>
       dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
         .withColumn("cosine", round(col("cosine"), 6))),
@@ -412,6 +415,26 @@ object SparkEntry {
          |  FROM (SELECT doc_id, $toks AS tt FROM documents) d,
          |       unnest(generate_series(1, len(tt)-1)) AS u(g))""".stripMargin
     val lcgSql = (k: String) => s"(($k * 1103515245 + 12345) % 2147483648)"
+    // simhash band signature CTE (same bit convention as dedup.simhash:
+    // token-hash bit j = nibble bit j%4 of md5 hex digit j/4)
+    val simhashSigCte =
+      s"""tw AS (
+         |  SELECT doc_id AS id, token, count(*) AS w, md5(token) AS hx
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |votes AS (
+         |  SELECT id, b.b AS bit,
+         |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+         |                   >> CAST(b.b % 4 AS INT)) % 2 = 1 THEN w ELSE -w END) AS vote
+         |  FROM tw, (SELECT unnest(generate_series(0, 63)) AS b) b
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT id,
+         |    CAST(SUM(CASE WHEN bit < 16 AND vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(SUM(CASE WHEN bit >= 16 AND bit < 32 AND vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(SUM(CASE WHEN bit >= 32 AND bit < 48 AND vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+         |    CAST(SUM(CASE WHEN bit >= 48 AND vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b3
+         |  FROM votes GROUP BY id)""".stripMargin
     val prfSets =
       """pre0 AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_quantity > 45),
         |pre AS (SELECT * FROM pre0 WHERE entity1 <> entity2),
@@ -608,6 +631,23 @@ object SparkEntry {
            |JOIN sizes n1 ON n1.id = id1
            |JOIN sizes n2 ON n2.id = id2
            |WHERE shared / (n1.n_shingles + n2.n_shingles - shared) >= 0.2""".stripMargin,
+
+      "q24_simhash" ->
+        s"WITH $simhashSigCte SELECT id, b0, b1, b2, b3 FROM sig",
+
+      "q44_simhash_pairs" ->
+        s"""WITH $simhashSigCte,
+           |lng AS (
+           |  SELECT id, b0, b1, b2, b3, 0 AS band, b0 AS bv FROM sig
+           |  UNION ALL SELECT id, b0, b1, b2, b3, 1, b1 FROM sig
+           |  UNION ALL SELECT id, b0, b1, b2, b3, 2, b2 FROM sig
+           |  UNION ALL SELECT id, b0, b1, b2, b3, 3, b3 FROM sig)
+           |SELECT id1, id2, hamming FROM (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+           |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+           |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+           |  FROM lng a JOIN lng b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+           |WHERE hamming <= 3""".stripMargin,
 
       "q27_embed_neardup" ->
         """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -108,29 +108,75 @@ object dedup {
       .distinct()
   }
 
-  /** SimHash: 64-bit signature from per-token md5 bits; near-dups =
-    * signatures within `maxHammingDistance`. Token weight 1 (unweighted).
-    * Bucketing for scale: band the 64 bits into 4×16-bit keys — two docs
-    * within Hamming distance 3 share at least one exact 16-bit band
-    * (pigeonhole), so candidate pairs join on band equality only. */
+  /**
+   * SimHash: 64-bit signature from per-token md5 bits, emitted as four
+   * 16-bit bands (b0 = bits 0-15 ... b3 = bits 48-63) — all-integer
+   * arithmetic, so no bit is lost to a double mantissa (a sum-of-pow(2,bit)
+   * assembly silently corrupts any signature with set bits spanning more
+   * than 53 positions). The full signature is b0 | b1<<16 | b2<<32 | b3<<48.
+   *
+   * Bit convention (portable across engines): token hash bit j lives in
+   * hex digit j/4 (0-based) of md5(token), at nibble bit j%4 — pure string
+   * + integer math that Spark and DuckDB evaluate identically.
+   *
+   * Banding for scale: two signatures within Hamming distance 3 agree on
+   * at least one of the 4 bands (pigeonhole), so `simhashPairs` joins on
+   * band equality only — never all-pairs.
+   */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         explode(text.wordTokensCol(normText(col(textCol)))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("w"))
-      // 64-bit token hash from the first 16 hex chars of md5
-      .withColumn("th", conv(substring(md5(col("token")), 1, 16), 16, 10).cast("decimal(22,0)"))
-    // per-bit weighted vote: bit j of token hash = (th div 2^j) mod 2
+      .withColumn("hx", md5(col("token")))
+    // per-bit weighted vote; nibble via strpos on the hex alphabet (conv()
+    // has no DuckDB twin; strpos does)
     val bits = toks
       .withColumn("bit", explode(sequence(lit(0), lit(63))))
+      .withColumn("nib",
+        (instr(lit("0123456789abcdef"),
+          col("hx").substr((col("bit") / 4).cast("int") + 1, lit(1))) - 1).cast("int"))
       .withColumn("v",
-        when(pmod(floor(col("th") / pow(lit(2.0), col("bit"))).cast("decimal(22,0)"), lit(2)) === 1,
-          col("w")).otherwise(-col("w")))
+        when(expr("pmod(shiftright(nib, CAST(bit % 4 AS INT)), 2)") === 1, col("w"))
+          .otherwise(-col("w")))
       .groupBy("id", "bit").agg(sum(col("v")).as("vote"))
     bits
+      .withColumn("band", (col("bit") / 16).cast("int"))
       .withColumn("bitval",
-        when(col("vote") > 0, pow(lit(2.0), col("bit"))).otherwise(lit(0.0)))
+        when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 16 AS INT))"))
+          .otherwise(lit(0L)))
       .groupBy("id")
-      .agg(sum(col("bitval")).cast("decimal(22,0)").as("simhash"))
+      .agg(
+        sum(when(col("band") === 0, col("bitval")).otherwise(0L)).as("b0"),
+        sum(when(col("band") === 1, col("bitval")).otherwise(0L)).as("b1"),
+        sum(when(col("band") === 2, col("bitval")).otherwise(0L)).as("b2"),
+        sum(when(col("band") === 3, col("bitval")).otherwise(0L)).as("b3"))
+  }
+
+  /** SimHash near-dup candidate pairs via 16-bit banding: join documents
+    * sharing any exact band (pigeonhole-complete for Hamming distance <= 3),
+    * then verify the true distance with bit_count(xor) over the 4 bands.
+    * Never compares documents that agree on no band. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band LSH only guarantees recall for Hamming distance <= 3 (pigeonhole)")
+    val sig = simhash(docs, idCol, textCol)
+    val long = sig.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array(
+          struct(lit(0).as("band"), col("b0").as("bv")),
+          struct(lit(1).as("band"), col("b1").as("bv")),
+          struct(lit(2).as("band"), col("b2").as("bv")),
+          struct(lit(3).as("band"), col("b3").as("bv")))).as("e"))
+      .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    long.as("a").join(long.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+          "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (e.g., an LSH

@@ -47,12 +47,46 @@ class DedupSimSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
-  test("simhash: identical normalized docs -> identical 64-bit signature") {
+  /** Plain-Scala simhash oracle: same bit convention as dedup.simhash
+    * (bit j = nibble bit j%4 of lowercase-hex md5 digit j/4), full 64 bits
+    * — exercises positions above the 53-bit double mantissa. */
+  private def simhashOracle(text: String): (Long, Long, Long, Long) = {
+    val toks = graft.functions.text.wordTokens(graft.functions.text.normalize(text))
+    val w = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val votes = new Array[Long](64)
+    w.foreach { case (t, cnt) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      for (j <- 0 until 64) {
+        val nib = Integer.parseInt(md.charAt(j / 4).toString, 16)
+        if (((nib >> (j % 4)) & 1) == 1) votes(j) += cnt else votes(j) -= cnt
+      }
+    }
+    def band(b: Int): Long =
+      (0 until 16).map(k => if (votes(16 * b + k) > 0) 1L << k else 0L).sum
+    (band(0), band(1), band(2), band(3))
+  }
+
+  test("simhash: identical normalized docs -> identical signature; matches Scala oracle incl. bits >53") {
     val s = dedup.simhash(docs, "id", "text")
-      .select("id", "simhash").as[(Long, java.math.BigDecimal)].collect()
-      .map(r => r._1 -> r._2.toBigInteger).toMap
+      .select("id", "b0", "b1", "b2", "b3").as[(Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     assert(s(1L) == s(2L))
     assert(s(1L) != s(3L))
+    // exact bit-for-bit agreement with the reference implementation
+    assert(s(1L) == simhashOracle("the quick brown fox"))
+    assert(s(3L) == simhashOracle("a completely different sentence here"))
+    // the fixture must actually exercise the high band (bits 48-63): a
+    // double-mantissa assembly would corrupt these
+    assert(docs.as[(Long, String)].collect().exists { case (_, t) =>
+      simhashOracle(t)._4 >= (1L << 6) })
+  }
+
+  test("simhashPairs: banding surfaces identical docs at hamming 0, skips far docs") {
+    val pairs = dedup.simhashPairs(docs, "id", "text", 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("bruteForceTopK: hand-computed nearest neighbor") {
