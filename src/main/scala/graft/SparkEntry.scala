@@ -203,15 +203,14 @@ object SparkEntry {
           .when(lcg(col("o_orderkey")) < 644245094L, "val")
           .otherwise("test").as("split"))),
 
-    "q18_downsample" -> ((s, dir) => {
-      // seeded downsample: keep N rows by (LCG, id) order
-      // (cross_onto.py:153-174 negative-rate downsampling shape)
-      val w = Window.orderBy(col("u").asc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(col("o_orderkey"), lcg(col("o_orderkey")).as("u"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 100)
-        .select("o_orderkey", "rnk")
-    }),
+    "q18_downsample" -> ((s, dir) =>
+      // seeded downsample through the real operator (bucketed exact top-k
+      // by (LCG, id) order — cross_onto.py:153-174 negative-rate shape)
+      corpus.downsampleNegatives(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        nSyn = 100, negRate = 1.0, seed = 0L, keyCols = Seq("o_orderkey"),
+        uCol = Some(lcg(col("o_orderkey"))))
+        .select(col("o_orderkey"), col("rn").cast("int").as("rnk"))),
 
     // --- dedup family -------------------------------------------------------
     "q19_dedup_exact" -> ((s, dir) =>

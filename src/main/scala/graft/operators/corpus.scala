@@ -1,17 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.rnd
 
 /**
  * Self-supervised corpus construction — the reference's "ETL"
  * (/root/reference/bertmap/corpora): synonym and nonsynonym text pairs
  * generated from the catalogs themselves, fully relational and seeded.
  *
- * All sampling is reproducible: `rand(seed)` columns + window row_number,
- * never driver-side RNG — the same job at any partition count yields the
- * same rows (determinism-under-parallelism is the BASELINE.json invariant).
+ * All sampling is reproducible AND partition-invariant: every draw is a
+ * pure function of row content + the job seed (graft.functions.rnd), never
+ * Spark's `rand(seed)` (which is seeded per partition and drawn in row
+ * order, so repartitioning changes the sample) and never driver-side RNG.
+ * The same job at any partition count yields the same rows — the
+ * BASELINE.json determinism-under-parallelism invariant, pinned by
+ * DeterminismSpec at 2 vs 8 shuffle partitions.
  */
 object corpus {
 
@@ -43,21 +48,27 @@ object corpus {
     if (d < 2) return classes.sparkSession.emptyDataFrame
       .withColumn("sent1", lit("")).limit(0)
       .select(col("sent1"), col("sent1").as("sent2"), lit(0).as("label"), lit("soft_neg").as("kind"))
+    // global window: classes is a catalog DIMENSION (bounded, ~10^5-10^6
+    // rows at the largest real catalogs) — the single-task sort is a few MB.
+    // Transcript-proportional data never flows through here.
     val w = Window.orderBy("class_iri")
     val indexed = classes
       .withColumn("idx", row_number().over(w).cast("long") - 1)
     val byIdx = indexed.select(col("idx").as("o_idx"), col("labels").as("o_labels"))
 
     // rate draws per (class, label): explode a draw dimension, derive the
-    // partner index without self via modular shift
+    // partner index without self via modular shift. Draws are keyed on
+    // (class idx, label, draw ordinal) content — partition-invariant.
     val draws = indexed
       .select(col("idx"), explode(col("labels")).as("sent1"))
       .withColumn("draw", explode(sequence(lit(0), lit(rate - 1))))
-      .withColumn("r", floor(rand(seed) * (d - 1)).cast("long"))
+      .withColumn("r",
+        pmod(rnd.keyed(seed, col("idx"), col("sent1"), col("draw")), lit(d - 1)))
       .withColumn("o_idx", (col("idx") + lit(1L) + col("r")) % lit(d))
       .join(byIdx, "o_idx")
       .withColumn("pick",
-        (floor(rand(seed + 1) * size(col("o_labels"))) + 1).cast("int"))
+        (pmod(rnd.keyed(seed + 1, col("idx"), col("sent1"), col("draw")),
+          size(col("o_labels")).cast("long")) + 1).cast("int"))
       .withColumn("sent2", element_at(col("o_labels"), col("pick")))
       .select(col("sent1"), col("sent2"))
       .filter(col("sent1") =!= col("sent2"))
@@ -104,27 +115,60 @@ object corpus {
       .withColumn("kind", lit("co_syn"))
   }
 
-  /** Train/val/test split by seeded rand with ratio boundaries
-    * (cross_onto.py:36-66; ratios 0.2/0.1/0.7 per config.json:17-19). */
-  def split(maps: DataFrame, trainRatio: Double, valRatio: Double,
-            seed: Long): DataFrame = {
+  /** Train/val/test split with ratio boundaries over an explicit 31-bit
+    * draw column (any deterministic function of row content — e.g.
+    * rnd.lcg over a numeric key, or rnd.keyed over strings). */
+  def splitByDraw(maps: DataFrame, trainRatio: Double, valRatio: Double,
+                  draw: Column): DataFrame = {
     require(trainRatio + valRatio <= 1.0, "split ratios exceed 1 (cross_onto.py:50)")
-    maps.withColumn("u", rand(seed))
-      .withColumn("split",
-        when(col("u") < trainRatio, "train")
-          .when(col("u") < trainRatio + valRatio, "val")
-          .otherwise("test"))
-      .drop("u")
+    val u = rnd.uniform01(draw)
+    maps.withColumn("split",
+      when(u < trainRatio, "train")
+        .when(u < trainRatio + valRatio, "val")
+        .otherwise("test"))
   }
 
-  /** Negative-rate downsampling: keep `negRate × nSyn` rows of a negative
-    * set, seeded (cross_onto.py:153-174, merged_onto.py:96-147). */
+  /** Train/val/test split, content-keyed and seeded
+    * (cross_onto.py:36-66; ratios 0.2/0.1/0.7 per config.json:17-19). */
+  def split(maps: DataFrame, trainRatio: Double, valRatio: Double,
+            seed: Long, keyCols: Seq[String] = Seq("entity1", "entity2")): DataFrame =
+    splitByDraw(maps, trainRatio, valRatio, rnd.keyed(seed, keyCols.map(col): _*))
+
+  /**
+   * Negative-rate downsampling: keep exactly `negRate × nSyn` rows of a
+   * negative set, seeded (cross_onto.py:153-174, merged_onto.py:96-147) —
+   * the first `target` rows in the global (draw, key) order, plus their
+   * global rank as `rn`.
+   *
+   * Scale design: a naive `Window.orderBy(u)` funnels the ENTIRE negative
+   * set through one task. Instead the draw space [0, 2^31) is range-bucketed,
+   * ranks are computed per bucket (parallel), the tiny per-bucket histogram
+   * (`buckets` rows) is collected, and global rank = bucket offset + local
+   * rank — exact top-`target` selection with no single-task sort and one
+   * extra count-only job.
+   */
   def downsampleNegatives(negatives: DataFrame, nSyn: Long, negRate: Double,
-                          seed: Long): DataFrame = {
+                          seed: Long, keyCols: Seq[String] = Seq("sent1", "sent2"),
+                          uCol: Option[Column] = None, buckets: Int = 256): DataFrame = {
     val target = (negRate * nSyn).toLong
-    val w = Window.orderBy(rand(seed))
-    negatives.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= target).drop("rn")
+    if (target <= 0) return negatives.limit(0).withColumn("rn", lit(0L))
+    val u = uCol.getOrElse(rnd.keyed(seed, keyCols.map(col): _*))
+    val width = math.max(1L, rnd.M / buckets)
+    val tagged = negatives
+      .withColumn("_u", u.cast("long"))
+      .withColumn("_b", least(floor(col("_u") / lit(width)).cast("int"), lit(buckets - 1)))
+    val counts = tagged.groupBy("_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until buckets).map { b => val o = b -> acc; acc += counts.getOrElse(b, 0L); o }.toMap
+    }
+    val wB = Window.partitionBy("_b")
+      .orderBy((col("_u").asc +: keyCols.map(c => col(c).asc)): _*)
+    tagged.withColumn("_r", row_number().over(wB))
+      .withColumn("rn", element_at(typedLit(offsets), col("_b")) + col("_r"))
+      .filter(col("rn") <= target)
+      .drop("_u", "_b", "_r")
   }
 
   /** Corpus counters (basic_corpus.py:95-109) as a tidy aggregate. */

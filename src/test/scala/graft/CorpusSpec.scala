@@ -69,9 +69,11 @@ class CorpusSpec extends SparkSuite {
     assert(s1 == s2)
   }
 
-  test("downsampleNegatives: keeps negRate * nSyn rows") {
+  test("downsampleNegatives: keeps exactly negRate * nSyn rows with dense global ranks") {
     val negs = (1 to 50).map(i => (s"a$i", s"b$i")).toDF("sent1", "sent2")
-    assert(corpus.downsampleNegatives(negs, nSyn = 10, negRate = 2.0, seed = 3L).count() == 20)
+    val out = corpus.downsampleNegatives(negs, nSyn = 10, negRate = 2.0, seed = 3L)
+    assert(out.count() == 20)
+    assert(out.select("rn").as[Long].collect().sorted.toList == (1L to 20L).toList)
   }
 
   test("counters: per-kind counts") {

@@ -50,6 +50,37 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus sampling ops identical at 2 vs 8 shuffle partitions (content-keyed draws)") {
+    import graft.operators.corpus
+    import org.apache.spark.sql.functions.col
+    def run(parts: Int): (List[(String, String)], List[(String, String)], List[(String, Long)]) =
+      withPartitions(parts) { s =>
+        import s.implicits._
+        // repartition the inputs too: rand(seed)-style per-partition draws
+        // would change under BOTH knobs; content-keyed draws change under
+        // neither
+        val classes = (1 to 40)
+          .map(i => (s"c$i", Seq(s"label $i", s"alt $i")))
+          .toDF("class_iri", "labels").repartition(parts * 3)
+        val maps = (1 to 200).map(i => (s"e$i", s"f$i"))
+          .toDF("entity1", "entity2").repartition(parts * 3)
+        val soft = corpus.softNonsynonyms(classes, rate = 2, seed = 11L)
+          .select("sent1", "sent2").as[(String, String)].collect().sorted.toList
+        val spl = corpus.split(maps, 0.2, 0.1, 7L)
+          .select("entity1", "split").as[(String, String)].collect().sorted.toList
+        val down = corpus.downsampleNegatives(maps
+            .select(col("entity1").as("sent1"), col("entity2").as("sent2")),
+            nSyn = 30, negRate = 2.0, seed = 3L)
+          .select("sent1", "rn").as[(String, Long)].collect().sorted.toList
+        (soft, spl, down)
+      }
+    val a = run(2)
+    val b = run(8)
+    assert(a._1 == b._1 && a._1.nonEmpty, "softNonsynonyms not partition-invariant")
+    assert(a._2 == b._2 && a._2.nonEmpty, "split not partition-invariant")
+    assert(a._3 == b._3 && a._3.size == 60, "downsampleNegatives not partition-invariant")
+  }
+
   test("candidate generation identical at different parallelism") {
     def run(parts: Int): List[(String, String)] = withPartitions(parts) { s =>
       import graft.plans.Pipeline
