@@ -69,6 +69,20 @@ object PlanCheck {
           .filter(_.onto == "src").collect().toSeq).toDF()
     }
 
+    // 7. Main-path: the observe() turns metric (CollectMetrics) must not
+    // block the same pruning — the transcript scan under spark-submit reads
+    // only (conv_id, turn_idx, text) even with the metric attached
+    check("Main-path observed scan still prunes", wanted = Seq("ReadSchema", "CollectMetrics"),
+      unwanted = Seq("role", "tool")) {
+      import graft.model._
+      val obs = org.apache.spark.sql.Observation("planchk_turns")
+      val turns = spark.read.parquet("/tmp/graft-planchk").as[Turn]
+        .observe(obs, count(lit(1)).as("turns"))
+      graft.operators.mentions.detect(spark, turns,
+        graft.sources.fixtures.classes(spark, graft.sources.fixtures.tiny)
+          .filter(_.onto == "src").collect().toSeq).toDF()
+    }
+
     spark.stop()
   }
 }

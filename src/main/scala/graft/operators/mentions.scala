@@ -105,13 +105,19 @@ object mentions {
   /** Per-conversation stabilization: the BASELINE invariant device —
     * windows over (conv_id, turn_idx) pin a total order on the mention
     * stream regardless of partitioning, and duplicate (turn, entity)
-    * evidence collapses deterministically. `mention_ord` is the stable
-    * per-conversation ordinal downstream consumers key on. */
+    * evidence collapses deterministically: the surviving surface is
+    * min(surface), NOT dropDuplicates' arbitrary partition-order survivor
+    * (an entity matched via two different surfaces in one turn would
+    * otherwise make `mention_ord` partition-dependent). The window order
+    * (turn_idx, onto, class_iri) is a total key after the groupBy, so
+    * `mention_ord` is the stable per-conversation ordinal downstream
+    * consumers key on. */
   def stabilize(mens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("conv_id"))
-      .orderBy(col("turn_idx").asc, col("class_iri").asc, col("surface").asc)
-    mens.dropDuplicates("conv_id", "turn_idx", "onto", "class_iri")
+      .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc)
+    mens.groupBy("conv_id", "turn_idx", "onto", "class_iri")
+      .agg(min(col("surface")).as("surface"))
       .withColumn("mention_ord", row_number().over(w))
   }
 

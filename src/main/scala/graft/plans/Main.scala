@@ -1,8 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
 import graft.model._
 import graft.sources.{fixtures, tables}
 
@@ -42,10 +41,6 @@ object Main {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
-    // metrics accumulators (replaces the reference's log_print side channel,
-    // general_utils.py:82-88)
-    val turnsSeen: LongAccumulator = spark.sparkContext.longAccumulator("graft.turns")
-
     // --- inputs ------------------------------------------------------------
     val (turns, classes, edges, inputFp) = transcriptsArg match {
       case s if s.startsWith("fixture:") =>
@@ -60,7 +55,13 @@ object Main {
         (t, c, e, s"$path|$catalogArg")
     }
 
-    val counted = turns.map { t => turnsSeen.add(1); t }
+    // turns-processed metric via CollectMetrics (df.observe): rides the
+    // existing scan for free. The previous typed .map accumulator was a
+    // deserialize-everything barrier below mention-detect's 3-column
+    // projection — it decoded all 6 transcript columns at 10^12-turn scale
+    // and multi-counted on Dataset reuse. PlanCheck pins the pruning.
+    val turnMetrics = Observation("graft_turns")
+    val observedTurns = turns.observe(turnMetrics, count(lit(1)).as("turns"))
 
     // --- staged run ---------------------------------------------------------
     val params = Pipeline.Params()
@@ -73,23 +74,34 @@ object Main {
         Pipeline.rawMappings(spark, srcLabels, tgtLabels, params), params.threshold)
     }
 
+    // the materialized mappings stage feeds the triples stage directly —
+    // a cold run executes the alignment chain exactly once, and a resumed
+    // run (matching triples manifest) executes it zero times
+    var triplesRebuilt = false
     val triples = lineage.stage(spark, workDir, "triples", inputFp + paramsFp) {
-      val (_, trip) = Pipeline.run(spark, counted, classes, edges, params)
+      triplesRebuilt = true
+      val (_, trip) = Pipeline.run(spark, observedTurns, classes, edges, params,
+        precomputedRaw = Some(mappings))
       trip
     }
 
     tables.writeTriples(triples, s"$workDir/graph")
+    // the observed metric exists only when the triples stage actually
+    // scanned the transcripts this run; a resumed run scans nothing
+    val turnsSeen: Long =
+      if (triplesRebuilt) turnMetrics.get("turns").asInstanceOf[Long] else 0L
     val predCounts = spark.read.parquet(s"$workDir/graph")
       .groupBy("pred").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val byPred = predCounts.map { case (p, n) => s"$p=$n" }.mkString(", ")
-    println(s"[graft] mappings=${mappings.count()} triples by pred: $byPred; " +
-      s"turns seen (accumulator)=${turnsSeen.value}")
+    val nMappings = mappings.count()
+    println(s"[graft] mappings=$nMappings triples by pred: $byPred; " +
+      s"turns seen (observed)=$turnsSeen resumed=${!triplesRebuilt}")
     // run metrics alongside the stage manifests (north_rule: resumable with
     // per-partition lineage + metrics)
     val metricsJson = predCounts.map { case (p, n) => s""""$p":$n""" }
       .mkString(
-        s"""{"mappings":${mappings.count()},"turns_seen":${turnsSeen.value},"triples":{""",
+        s"""{"mappings":$nMappings,"turns_seen":$turnsSeen,"resumed":${!triplesRebuilt},"triples":{""",
         ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$workDir/metrics.json"),
       metricsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -109,9 +109,16 @@ object Pipeline {
     align.combine(Await.result(s2tF, Duration.Inf), Await.result(t2sF, Duration.Inf))
   }
 
-  /** Full run over in-memory inputs; returns (mappings, triples). */
+  /** Full run over in-memory inputs; returns (mappings, triples).
+    *
+    * @param precomputedRaw thresholded raw mappings from an earlier
+    *        materialized stage (spark-submit resume path): when given, the
+    *        alignment chain is NOT re-planned or re-executed — the staged
+    *        output is consumed directly, so the flagship job pays for
+    *        alignment exactly once per cold run. */
   def run(spark: SparkSession, turns: Dataset[Turn], classes: Dataset[ClassText],
-          edges: Dataset[Edge], p: Params = Params()): (DataFrame, DataFrame) = {
+          edges: Dataset[Edge], p: Params = Params(),
+          precomputedRaw: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -134,8 +141,9 @@ object Pipeline {
     val srcLabels = sideLabels(classes, "src").cache()
     val tgtLabels = sideLabels(classes, "tgt").cache()
 
-    val raw = align.atThreshold(rawMappings(spark, srcLabels, tgtLabels, p), p.threshold)
-      .localCheckpoint(true)
+    val raw = precomputedRaw.getOrElse(
+      align.atThreshold(rawMappings(spark, srcLabels, tgtLabels, p), p.threshold)
+        .localCheckpoint(true))
 
     val srcEdges = edges.toDF().filter(col("onto") === "src")
       .select("child_iri", "parent_iri").cache()

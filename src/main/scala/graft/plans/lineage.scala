@@ -50,25 +50,47 @@ object lineage {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
   /**
    * Run `build` for stage `name` unless a matching manifest already covers
    * it; either way return the stage's materialized DataFrame. `inputsFp`
    * should combine the fingerprints (or seeds/config strings) of everything
    * the stage reads.
+   *
+   * Publication is atomic as documented: the output is written to a tmp
+   * dir and renamed into place, and the manifest (written last) records
+   * the row count, which is REVALIDATED on reuse — a mismatch (partial
+   * data from a crash mid-publish) forces a rebuild instead of silently
+   * resuming from truncated output.
    */
   def stage(spark: SparkSession, rootDir: String, name: String,
             inputsFp: String)(build: => DataFrame): DataFrame = {
     val dir = s"$rootDir/$name"
     val fp = fingerprint(name, inputsFp)
-    readManifest(dir) match {
-      case Some(m) if m.fingerprint == fp =>
-        spark.read.parquet(s"$dir/data")
-      case _ =>
-        val df = build
-        df.write.mode("overwrite").parquet(s"$dir/data")
+    val dataPath = Paths.get(dir, "data")
+    val reuse = readManifest(dir).filter(_.fingerprint == fp).flatMap { m =>
+      if (!Files.exists(dataPath)) None
+      else {
         val out = spark.read.parquet(s"$dir/data")
-        writeManifest(dir, Manifest(fp, out.count()))
-        out
+        // metadata-only count (parquet row-group stats) — cheap revalidation
+        if (out.count() == m.rows) Some(out) else None
+      }
+    }
+    reuse.getOrElse {
+      val df = build
+      val tmp = Paths.get(dir, s"data.tmp")
+      deleteRecursively(tmp)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      deleteRecursively(dataPath)
+      Files.move(tmp, dataPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val out = spark.read.parquet(s"$dir/data")
+      writeManifest(dir, Manifest(fp, out.count()))
+      out
     }
   }
 }

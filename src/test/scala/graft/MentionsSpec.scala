@@ -45,6 +45,23 @@ class MentionsSpec extends SparkSuite {
     assert(n > 0)
   }
 
+  test("stabilize: two distinct surfaces for one (turn, entity) collapse to min(surface) deterministically") {
+    val mens = Seq(
+      // same (conv, turn, onto, entity) matched via two different surfaces
+      ("c1", 0, "src", "e1", "zeta form"),
+      ("c1", 0, "src", "e1", "alpha form"),
+      ("c1", 1, "src", "e2", "other"))
+      .toDF("conv_id", "turn_idx", "onto", "class_iri", "surface")
+    def run(parts: Int) = mentions.stabilize(mens.repartition(parts))
+      .select("conv_id", "turn_idx", "class_iri", "surface", "mention_ord")
+      .as[(String, Int, String, String, Int)].collect().sorted.toList
+    val a = run(2)
+    val b = run(7)
+    assert(a == b)
+    assert(a.find(_._3 == "e1").get._4 == "alpha form") // min(surface) survives
+    assert(a.map(_._5).sorted == List(1, 2))
+  }
+
   test("stabilize: dense per-conversation ordinals, partition-invariant") {
     import org.apache.spark.sql.functions._
     val mens = Seq(

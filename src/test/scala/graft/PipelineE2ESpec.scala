@@ -44,4 +44,22 @@ class PipelineE2ESpec extends SparkSuite {
   test("flagship entry returns non-empty triples (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("run consumes precomputed mappings: alignment chain executes zero times on resume") {
+    // hand the run a crafted mapping set that natural alignment would never
+    // produce alone; if the chain re-ran, sameAs would contain its full
+    // output instead of (at most the extension closure of) this one pair
+    val src = classes.filter(_.onto == "src").head().class_iri
+    val tgt = classes.filter(_.onto == "tgt").head().class_iri
+    val crafted = Seq((src, tgt, 1.0)).toDF("entity1", "entity2", "value")
+    val (_, triples) = Pipeline.run(spark, turns, classes, edges,
+      precomputedRaw = Some(crafted))
+    val sameAs = triples.filter($"pred" === "sameAs")
+      .select("subj", "obj").as[(String, String)].collect().toSet
+    val natural = result._1.count()
+    assert(sameAs.contains((src, tgt)))
+    // extension can add 1-hop neighbors of the seed, never the full natural set
+    assert(sameAs.size < natural,
+      s"sameAs=${sameAs.size} >= natural=$natural: alignment chain re-ran despite precomputedRaw")
+  }
 }
