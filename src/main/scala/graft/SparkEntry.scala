@@ -196,6 +196,58 @@ object SparkEntry {
       drawn.filter(col("p_brand") =!= col("o_brand")).select("sent1", "sent2")
     }),
 
+    "q45_corpus_merge" -> ((s, dir) => {
+      // base + add corpora over part labels; merge re-validates the ADD
+      // negatives against the MERGED synonym set (merged_onto.py:57-94)
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          pmod(floor(col("p_retailprice")).cast("long"), lit(7)).as("p_bucket"))
+      def pairs(cond: Column): DataFrame = p.as("a")
+        .join(p.as("b"), cond && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("sent1"), col("b.p_name").as("sent2"))
+        .distinct()
+      val base = pairs(col("a.p_brand") === col("b.p_brand"))
+          .select(col("sent1"), col("sent2"), lit(1).as("label"), lit("syn").as("kind"))
+        .unionByName(pairs(col("a.p_size") === col("b.p_size") && col("a.p_brand") =!= col("b.p_brand"))
+          .select(col("sent1"), col("sent2"), lit(0).as("label"), lit("soft_neg").as("kind")))
+      val add = pairs(col("a.p_type") === col("b.p_type"))
+          .select(col("sent1"), col("sent2"), lit(1).as("label"), lit("syn").as("kind"))
+        .unionByName(pairs(col("a.p_bucket") === col("b.p_bucket"))
+          .select(col("sent1"), col("sent2"), lit(0).as("label"), lit("soft_neg").as("kind")))
+      corpus.mergeCorpora(base, add)
+    }),
+
+    "q46_cross_softneg" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      val src = p.groupBy(col("p_brand").as("class_iri"))
+        .agg(sort_array(collect_set(col("p_name"))).as("labels"))
+      val tgt = p.groupBy(col("p_size").as("class_iri"))
+        .agg(sort_array(collect_set(col("p_name"))).as("labels"))
+      val maps = p.filter(col("p_partkey") <= 60)
+        .select(col("p_brand").as("entity1"), col("p_size").as("entity2"))
+        .distinct()
+      corpus.crossSoftNonsynonyms(maps, src, tgt, rate = 2, seed = 7L)
+    }),
+
+    "q47_assemble_splits" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_name", "n_nationkey", "n_regionkey")
+      def np(cond: Column): DataFrame = n.as("a")
+        .join(n.as("b"), cond && col("a.n_name") < col("b.n_name"))
+        .select(col("a.n_name").as("sent1"), col("b.n_name").as("sent2"))
+      val sameR = col("a.n_regionkey") === col("b.n_regionkey")
+      val parity = pmod(col("a.n_nationkey") + col("b.n_nationkey"), lit(2))
+      val long = np(sameR)
+          .select(col("sent1"), col("sent2"), lit(1).as("label"), lit("syn").as("kind"))
+        .unionByName(n.select(col("n_name").as("sent1"), col("n_name").as("sent2"),
+          lit(1).as("label"), lit("id_syn").as("kind")))
+        .unionByName(np(!sameR && parity === 1)
+          .select(col("sent1"), col("sent2"), lit(0).as("label"), lit("soft_neg").as("kind")))
+        .unionByName(np(!sameR && parity === 0)
+          .select(col("sent1"), col("sent2"), lit(0).as("label"), lit("hard_neg").as("kind")))
+      corpus.assembleSplits(long, softNegRate = 1.0, hardNegRate = 1.0,
+        valRatio = 0.2, seed = 9L)
+    }),
+
     "q17_splits" -> ((s, dir) =>
       // train/val/test 0.2/0.1/0.7 split, LCG-keyed (cross_onto.py:36-66)
       t(s, dir, "orders").select(col("o_orderkey"),
@@ -414,6 +466,12 @@ object SparkEntry {
          |  FROM (SELECT doc_id, $toks AS tt FROM documents) d,
          |       unnest(generate_series(1, len(tt)-1)) AS u(g))""".stripMargin
     val lcgSql = (k: String) => s"(($k * 1103515245 + 12345) % 2147483648)"
+    // DuckDB twin of rnd.keyed(seed, cols...): md5 over chr(1)-joined parts,
+    // first 15 hex chars as BIGINT, fold in the seed mod 2^31, then the LCG
+    val keyedSql = (seed: Long, parts: Seq[String]) => {
+      val h = s"(('0x' || substring(md5(concat_ws(chr(1), ${parts.mkString(", ")})), 1, 15))::BIGINT)"
+      s"(((($h + $seed) % 2147483648) * 1103515245 + 12345) % 2147483648)"
+    }
     // simhash band signature CTE (same bit convention as dedup.simhash:
     // token-hash bit j = nibble bit j%4 of md5 hex digit j/4)
     val simhashSigCte =
@@ -578,6 +636,95 @@ object SparkEntry {
            |  FROM idx a JOIN idx b
            |    ON b.idx = (a.idx + 1 + (${lcgSql("a.p_partkey")} % (a.d - 1))) % a.d)
            |SELECT sent1, sent2 FROM drawn WHERE brand_a <> brand_b""".stripMargin,
+
+      "q45_corpus_merge" ->
+        """WITH p AS (SELECT p_name, p_brand, p_type, p_size,
+          |            CAST(floor(p_retailprice) AS BIGINT) % 7 AS p_bucket
+          |          FROM part WHERE p_partkey <= 400),
+          |basesyn AS (SELECT DISTINCT a.p_name AS sent1, b.p_name AS sent2, 1 AS label, 'syn' AS kind
+          |            FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_name < b.p_name),
+          |baseneg AS (SELECT DISTINCT a.p_name AS sent1, b.p_name AS sent2, 0 AS label, 'soft_neg' AS kind
+          |            FROM p a JOIN p b ON a.p_size = b.p_size AND a.p_brand <> b.p_brand AND a.p_name < b.p_name),
+          |addsyn AS (SELECT DISTINCT a.p_name AS sent1, b.p_name AS sent2, 1 AS label, 'syn' AS kind
+          |           FROM p a JOIN p b ON a.p_type = b.p_type AND a.p_name < b.p_name),
+          |addneg AS (SELECT DISTINCT a.p_name AS sent1, b.p_name AS sent2, 0 AS label, 'soft_neg' AS kind
+          |           FROM p a JOIN p b ON a.p_bucket = b.p_bucket AND a.p_name < b.p_name),
+          |synmerged AS (SELECT * FROM basesyn UNION SELECT * FROM addsyn),
+          |synboth AS (SELECT sent1, sent2 FROM synmerged UNION SELECT sent2 AS sent1, sent1 AS sent2 FROM synmerged),
+          |addneg2 AS (SELECT * FROM addneg WHERE sent1 <> sent2),
+          |addkept AS (SELECT * FROM addneg2 ANTI JOIN synboth USING (sent1, sent2)),
+          |negs AS (SELECT DISTINCT * FROM (SELECT * FROM baseneg UNION ALL SELECT * FROM addkept))
+          |SELECT * FROM synmerged UNION ALL SELECT * FROM negs""".stripMargin,
+
+      "q46_cross_softneg" -> {
+        def sideSql(labCol: String, oppCol: String, tag: String) =
+          s"""  SELECT s.sent1,
+             |    w.$oppCol[CAST(${keyedSql(8, Seq("s.midx", "s.sent1", "s.draw", s"'$tag'"))} % len(w.$oppCol) AS INT) + 1] AS sent2
+             |  FROM (
+             |    SELECT u.midx, u.sent1, u.draw,
+             |      (u.midx + 1 + (${keyedSql(7, Seq("u.midx", "u.sent1", "u.draw", s"'$tag'"))} % ((SELECT m FROM mc) - 1))) % (SELECT m FROM mc) AS o_idx
+             |    FROM (SELECT midx, unnest($labCol) AS sent1, draw
+             |          FROM wl, (SELECT unnest([0, 1]) AS draw) d) u(midx, sent1, draw)
+             |  ) s JOIN wl w ON w.midx = s.o_idx""".stripMargin
+        s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part WHERE p_partkey <= 300),
+           |src AS (SELECT p_brand AS class_iri, list_sort(list(DISTINCT p_name)) AS labels FROM p GROUP BY 1),
+           |tgt AS (SELECT p_size AS class_iri, list_sort(list(DISTINCT p_name)) AS labels FROM p GROUP BY 1),
+           |maps AS (SELECT DISTINCT p_brand AS entity1, p_size AS entity2 FROM p WHERE p_partkey <= 60),
+           |mi AS (SELECT entity1, entity2, ROW_NUMBER() OVER (ORDER BY entity1, entity2) - 1 AS midx FROM maps),
+           |wl AS (SELECT mi.midx, mi.entity1, mi.entity2, s.labels AS src_labels, t.labels AS tgt_labels
+           |       FROM mi JOIN src s ON s.class_iri = mi.entity1 JOIN tgt t ON t.class_iri = mi.entity2),
+           |mc AS (SELECT count(*) AS m FROM mi),
+           |drawn AS (
+           |${sideSql("src_labels", "tgt_labels", "s2t")}
+           |  UNION ALL
+           |${sideSql("tgt_labels", "src_labels", "t2s")}),
+           |drawn2 AS (SELECT DISTINCT sent1, sent2 FROM drawn WHERE sent1 <> sent2),
+           |fwd AS (SELECT DISTINCT sl.l1 AS sent1, tl.l2 AS sent2
+           |        FROM mi
+           |        JOIN (SELECT class_iri AS entity1, unnest(labels) AS l1 FROM src) sl USING (entity1)
+           |        JOIN (SELECT class_iri AS entity2, unnest(labels) AS l2 FROM tgt) tl USING (entity2)),
+           |synboth AS (SELECT sent1, sent2 FROM fwd UNION SELECT sent2, sent1 FROM fwd),
+           |kept AS (SELECT * FROM drawn2 ANTI JOIN synboth USING (sent1, sent2)),
+           |bothdir AS (SELECT sent1, sent2 FROM kept UNION SELECT sent2 AS sent1, sent1 AS sent2 FROM kept)
+           |SELECT sent1, sent2, 0 AS label, 'co_soft_neg' AS kind FROM bothdir""".stripMargin
+      },
+
+      "q47_assemble_splits" -> {
+        def sampleSql(name: String, seed: Long, nCte: String) =
+          s"""${name}s AS (SELECT sent1, sent2, label, kind FROM (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY ${keyedSql(seed, Seq("sent1", "sent2"))}, sent1, sent2) AS rn
+             |  FROM $name) WHERE rn <= (SELECT c FROM $nCte))""".stripMargin
+        def splitSql(inCte: String, seed: Long, trainName: String, valName: String) =
+          s"""SELECT sent1, sent2, label, kind,
+             |  CASE WHEN ${keyedSql(seed, Seq("sent1", "sent2"))} / 2147483648.0 < 0.8
+             |       THEN '$trainName' ELSE '$valName' END AS split
+             |FROM $inCte""".stripMargin
+        s"""WITH n AS (SELECT n_name, n_nationkey, n_regionkey FROM nation),
+           |syn AS (SELECT a.n_name AS sent1, b.n_name AS sent2, 1 AS label, 'syn' AS kind
+           |        FROM n a JOIN n b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name),
+           |ids AS (SELECT n_name AS sent1, n_name AS sent2, 1 AS label, 'id_syn' AS kind FROM n),
+           |soft AS (SELECT a.n_name AS sent1, b.n_name AS sent2, 0 AS label, 'soft_neg' AS kind
+           |         FROM n a JOIN n b ON a.n_regionkey <> b.n_regionkey AND a.n_name < b.n_name
+           |           AND (a.n_nationkey + b.n_nationkey) % 2 = 1),
+           |hard AS (SELECT a.n_name AS sent1, b.n_name AS sent2, 0 AS label, 'hard_neg' AS kind
+           |         FROM n a JOIN n b ON a.n_regionkey <> b.n_regionkey AND a.n_name < b.n_name
+           |           AND (a.n_nationkey + b.n_nationkey) % 2 = 0),
+           |nsyn AS (SELECT count(*) AS c FROM syn),
+           |nid AS (SELECT count(*) AS c FROM ids),
+           |${sampleSql("soft", 9, "nsyn")},
+           |${sampleSql("hard", 10, "nsyn")},
+           |base AS (SELECT DISTINCT * FROM (SELECT * FROM syn UNION ALL SELECT * FROM softs UNION ALL SELECT * FROM hards)),
+           |softi AS (SELECT sent1, sent2, label, kind FROM (
+           |  SELECT *, ROW_NUMBER() OVER (ORDER BY ${keyedSql(19, Seq("sent1", "sent2"))}, sent1, sent2) AS rn
+           |  FROM soft) WHERE rn <= (SELECT c FROM nid)),
+           |hardi AS (SELECT sent1, sent2, label, kind FROM (
+           |  SELECT *, ROW_NUMBER() OVER (ORDER BY ${keyedSql(20, Seq("sent1", "sent2"))}, sent1, sent2) AS rn
+           |  FROM hard) WHERE rn <= (SELECT c FROM nid)),
+           |idbase AS (SELECT DISTINCT * FROM (SELECT * FROM ids UNION ALL SELECT * FROM softi UNION ALL SELECT * FROM hardi))
+           |${splitSql("base", 11, "train", "val")}
+           |UNION ALL
+           |${splitSql("idbase", 21, "train_ids", "val_ids")}""".stripMargin
+      },
 
       "q17_splits" ->
         s"""SELECT o_orderkey,

@@ -83,10 +83,26 @@ object corpus {
   }
 
   /** Hard nonsynonyms: label pairs across sibling classes of a common
-    * parent (intra_onto.py:109-151). `edges`: (child_iri, parent_iri). */
-  def hardNonsynonyms(classes: DataFrame, edges: DataFrame): DataFrame = {
-    val sib = edges.as("a")
-      .join(edges.as("b"), col("a.parent_iri") === col("b.parent_iri"))
+    * parent (intra_onto.py:109-151). `edges`: (child_iri, parent_iri).
+    *
+    * @param parentDepths optional (id, depth) table (hierarchy.depthMax or
+    *        depthMin per the reference's depth_strategy, config.json:23-24);
+    *        with `depthThreshold` it skips parents deeper than the
+    *        threshold — intra_onto.py:115-119 ("skip if the depth of the
+    *        class exceeds the threshold"). */
+  def hardNonsynonyms(classes: DataFrame, edges: DataFrame,
+                      depthThreshold: Int = Int.MaxValue,
+                      parentDepths: Option[DataFrame] = None): DataFrame = {
+    val keptEdges = parentDepths match {
+      case Some(d) if depthThreshold != Int.MaxValue =>
+        edges.join(
+          broadcast(d.filter(col("depth") <= depthThreshold)
+            .select(col("id").as("parent_iri"))),
+          Seq("parent_iri"), "left_semi")
+      case _ => edges
+    }
+    val sib = keptEdges.as("a")
+      .join(keptEdges.as("b"), col("a.parent_iri") === col("b.parent_iri"))
       .filter(col("a.child_iri") < col("b.child_iri"))
       .select(col("a.child_iri").as("c1"), col("b.child_iri").as("c2"))
       .distinct()
@@ -174,4 +190,129 @@ object corpus {
   /** Corpus counters (basic_corpus.py:95-109) as a tidy aggregate. */
   def counters(corpusLong: DataFrame): DataFrame =
     corpusLong.groupBy("kind").agg(count(lit(1)).as("n"))
+
+  /** Synonym pairs of a long-form corpus in both directions — the
+    * relational form of the per-label alias sets that
+    * negative_sample_check consults (basic_corpus.py:141-153: reject when
+    * (l1,l2) OR (l2,l1) is a synonym). */
+  def synonymPairsBoth(corpusLong: DataFrame): DataFrame = {
+    val syn = corpusLong.filter(col("label") === 1)
+      .select("sent1", "sent2").distinct()
+    syn.unionByName(syn.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
+      .distinct()
+  }
+
+  /**
+   * Merge two long-form corpora (merged_onto.py:39-94): synonyms are
+   * unioned and deduped (update_synonyms :66-75); the ADD corpus's
+   * negatives are re-validated against the MERGED synonym set — a pair
+   * that became a synonym after merging is a violation and is dropped
+   * (update_nonsynonyms :77-94 guards each added negative with
+   * negative_sample_check). Base negatives pass through unchecked,
+   * exactly as the reference only re-checks added ones.
+   */
+  def mergeCorpora(base: DataFrame, add: DataFrame): DataFrame = {
+    val pairCols = Seq("sent1", "sent2", "label", "kind").map(col)
+    val synMerged = base.filter(col("label") === 1).select(pairCols: _*)
+      .unionByName(add.filter(col("label") === 1).select(pairCols: _*))
+      .distinct()
+    val synBoth = synonymPairsBoth(synMerged)
+    val baseNeg = base.filter(col("label") === 0).select(pairCols: _*)
+    val addNegKept = add.filter(col("label") === 0).select(pairCols: _*)
+      .filter(col("sent1") =!= col("sent2"))
+      .join(synBoth, Seq("sent1", "sent2"), "left_anti")
+    synMerged.unionByName(baseNeg.unionByName(addNegKept).distinct())
+  }
+
+  /**
+   * Cross-catalog soft nonsynonyms (cross_onto.py:102-151): for mapping i
+   * and each label of one side, `rate` draws of OTHER mappings j != i via
+   * the exclude_randrange shift (idx+1+r) % M; the negative partner is a
+   * drawn label of mapping j's OPPOSITE-side class (src labels sample from
+   * tgt classes and vice versa — cross_onto_nonsynonyms :102-111). Pairs
+   * that are cross synonyms are rejected (negative_sample_check) and the
+   * backward pair is emitted too (:139-145). Draws are content-keyed
+   * (partition-invariant) with the md5+LCG twin the oracle replicates.
+   */
+  def crossSoftNonsynonyms(maps: DataFrame, srcClasses: DataFrame,
+                           tgtClasses: DataFrame, rate: Int, seed: Long): DataFrame = {
+    val m = maps.select("entity1", "entity2").distinct().count()
+    val empty = maps.sparkSession.emptyDataFrame
+      .withColumn("sent1", lit("")).limit(0)
+      .select(col("sent1"), col("sent1").as("sent2"),
+        lit(0).as("label"), lit("co_soft_neg").as("kind"))
+    if (m < 2) return empty
+    // mapping set is seed/alignment-sized (bounded): global index window ok
+    val w = Window.orderBy("entity1", "entity2")
+    val idx = maps.select("entity1", "entity2").distinct()
+      .withColumn("midx", row_number().over(w).cast("long") - 1)
+    val srcLab = srcClasses.select(col("class_iri").as("entity1"), col("labels").as("src_labels"))
+    val tgtLab = tgtClasses.select(col("class_iri").as("entity2"), col("labels").as("tgt_labels"))
+    val withLabels = idx.join(srcLab, "entity1").join(tgtLab, "entity2")
+      .select("midx", "src_labels", "tgt_labels").cache()
+
+    def side(labCol: String, oppCol: String, tag: String): DataFrame = {
+      val partner = withLabels.select(col("midx").as("o_idx"), col(oppCol).as("o_labels"))
+      withLabels
+        .select(col("midx"), explode(col(labCol)).as("sent1"))
+        .withColumn("draw", explode(sequence(lit(0), lit(rate - 1))))
+        .withColumn("r",
+          pmod(rnd.keyed(seed, col("midx"), col("sent1"), col("draw"), lit(tag)), lit(m - 1)))
+        .withColumn("o_idx", (col("midx") + lit(1L) + col("r")) % lit(m))
+        .join(partner, "o_idx")
+        .withColumn("pick",
+          (pmod(rnd.keyed(seed + 1, col("midx"), col("sent1"), col("draw"), lit(tag)),
+            size(col("o_labels")).cast("long")) + 1).cast("int"))
+        .withColumn("sent2", element_at(col("o_labels"), col("pick")))
+        .select("sent1", "sent2")
+    }
+    val drawn = side("src_labels", "tgt_labels", "s2t")
+      .unionByName(side("tgt_labels", "src_labels", "t2s"))
+      .filter(col("sent1") =!= col("sent2"))
+    val synBoth = crossSynonyms(idx, srcClasses, tgtClasses).select("sent1", "sent2")
+    val kept = drawn.join(synBoth, Seq("sent1", "sent2"), "left_anti").distinct()
+    kept.unionByName(kept.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
+      .distinct()
+      .withColumn("label", lit(0))
+      .withColumn("kind", lit("co_soft_neg"))
+  }
+
+  /**
+   * Final fine-tuning data assembly (merged_onto.py:96-147 train_val_split;
+   * oa_corpora.py:193-224 unsupervised_data): non-identity synonyms plus
+   * softNegRate*|syn| soft and hardNegRate*|syn| hard negatives (exact
+   * content-keyed downsample), deduped, split train/val at `valRatio`; the
+   * identity-synonym variant is assembled the same way against |id_syn|.
+   * Returns split ∈ {train, val, train_ids, val_ids}; the reference's
+   * "train+" = uniqify(train ∪ train_ids) and "val+" likewise — materialize
+   * them by filtering on both names.
+   */
+  def assembleSplits(corpusLong: DataFrame, softNegRate: Double,
+                     hardNegRate: Double, valRatio: Double, seed: Long): DataFrame = {
+    val pairCols = Seq("sent1", "sent2", "label", "kind").map(col)
+    val syn = corpusLong.filter(col("label") === 1 && col("kind") =!= "id_syn")
+      .select(pairCols: _*).distinct().cache()
+    val idSyn = corpusLong.filter(col("kind") === "id_syn")
+      .select(pairCols: _*).distinct().cache()
+    val soft = corpusLong.filter(col("kind").isin("soft_neg", "co_soft_neg"))
+      .select(pairCols: _*).distinct()
+    val hard = corpusLong.filter(col("kind") === "hard_neg")
+      .select(pairCols: _*).distinct()
+    val nSyn = syn.count()
+    val nId = idSyn.count()
+
+    def assemble(pos: DataFrame, n: Long, s: Long,
+                 trainName: String, valName: String): DataFrame = {
+      val data = pos
+        .unionByName(downsampleNegatives(soft, n, softNegRate, s).drop("rn"))
+        .unionByName(downsampleNegatives(hard, n, hardNegRate, s + 1).drop("rn"))
+        .distinct()
+      splitByDraw(data, 1.0 - valRatio, valRatio,
+          rnd.keyed(s + 2, col("sent1"), col("sent2")))
+        .withColumn("split",
+          when(col("split") === "train", trainName).otherwise(valName))
+    }
+    assemble(syn, nSyn, seed, "train", "val")
+      .unionByName(assemble(idSyn, nId, seed + 10, "train_ids", "val_ids"))
+  }
 }

@@ -144,4 +144,17 @@ object evalmod {
     * threshold (eval_bertmap.py:246-248 idxmax semantics). */
   def bestByF1(report: DataFrame): DataFrame =
     report.orderBy(col("f1").desc, col("threshold").asc).limit(1)
+
+  /** Best row per source — the reference's print_eval reports the best
+    * string-match-baseline row and the best system row side by side
+    * (onto_map.py:149-175: last 3 report rows are the string-match
+    * baselines, idxmax of F1 taken separately over each slice). The report
+    * here carries an explicit `source` column ("system" / "string_match")
+    * instead of positional last-3 rows. */
+  def bestByF1PerSource(report: DataFrame, sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("f1").desc, col("threshold").asc)
+    report.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+  }
 }

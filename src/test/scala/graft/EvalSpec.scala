@@ -65,4 +65,21 @@ class EvalSpec extends SparkSuite {
     // at 0.65: pre = {(c,y),(d,z)} both TP -> P=1, R=2/3, F1=0.8 -> better
     assert(best == 0.65)
   }
+
+  test("bestByF1PerSource: system vs string-match baselines selected separately (onto_map.py:149-175)") {
+    // the reference's eval CSV: system rows + 3 trailing string-match rows;
+    // print_eval takes idxmax(F1) over each slice independently
+    val report = Seq(
+      ("system", 0.90, 0.81),
+      ("system", 0.92, 0.88), // best system
+      ("system", 0.94, 0.88), // tie -> lower threshold wins
+      ("string_match", 0.90, 0.70),
+      ("string_match", 0.95, 0.74), // best baseline
+      ("string_match", 0.99, 0.60)
+    ).toDF("source", "threshold", "f1")
+    val best = evalmod.bestByF1PerSource(report)
+      .select("source", "threshold").as[(String, Double)].collect().toMap
+    assert(best("system") == 0.92)
+    assert(best("string_match") == 0.95)
+  }
 }
