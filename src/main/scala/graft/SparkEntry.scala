@@ -449,7 +449,29 @@ object SparkEntry {
       extend.extendMappings(s, seeds, e, e, labels, labels, 0.9, 3)
     }),
 
-    "q40_pipeline_e2e" -> ((s, dir) => Pipeline.flagship(s))
+    "q40_pipeline_e2e" -> ((s, dir) => Pipeline.flagship(s)),
+
+    // --- sub-word inverted index (onto_index.py:46-47 WordPiece postings) ---
+    "q48_subword_postings" -> ((s, dir) =>
+      index.postingsFromText(t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", 0, c => graft.functions.text.subwordTokensCol(c))),
+
+    // --- embeds-mode alignment (bert_embeds_map.py:49-136), fixed-point IDF
+    // candidates + cosine n-best over per-doc vectors from the embeddings
+    // table (the class-embedding MEAN is oracled separately by q41) --------
+    "q49_embeds_align" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vecs = t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        similarity.toDoubleArray(col("embedding")).as("emb"))
+      val fromLab = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
+      val toLab = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
+      embeds.alignOneSide(fromLab, toLab, vecs, vecs, toLab.count(),
+          candidateLimit = 5, nbest = 1, fixedPointIdf = true)
+        .withColumn("score", round(col("score"), 6))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -939,7 +961,47 @@ object SparkEntry {
       "q38_join_groupby" ->
         """SELECT c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue, count(*) AS n_orders
           |FROM orders JOIN customer ON o_custkey = c_custkey
-          |GROUP BY c_mktsegment""".stripMargin
+          |GROUP BY c_mktsegment""".stripMargin,
+
+      "q48_subword_postings" -> {
+        val sub = s"""flatten(list_transform($toks, w ->
+           |    CASE WHEN length(w) <= 4 THEN [w]
+           |         ELSE list_concat([substr(w, 1, 4)],
+           |                list_transform(generate_series(5, length(w), 4), i -> '##' || substr(w, i, 4)))
+           |    END))""".stripMargin
+        s"""SELECT DISTINCT class_id, token FROM (
+           |  SELECT doc_id AS class_id, unnest($sub) AS token
+           |  FROM documents WHERE doc_id < 100)
+           |WHERE length(token) > 0""".stripMargin
+      },
+
+      "q49_embeds_align" -> {
+        val labToks = "list_filter(string_split_regex(lower(label), '[^a-z0-9]+'), x -> x <> '')"
+        s"""WITH froml AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS label FROM documents WHERE doc_id < 250),
+           |tol AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS label FROM documents WHERE doc_id >= 250),
+           |fpost AS (SELECT DISTINCT id AS query_id, token FROM
+           |  (SELECT id, unnest($labToks) AS token FROM froml) WHERE length(token) > 0),
+           |tpost AS (SELECT DISTINCT id AS class_id, token FROM
+           |  (SELECT id, unnest($labToks) AS token FROM tol) WHERE length(token) > 0),
+           |df AS (SELECT token, count(*) AS df FROM tpost GROUP BY token),
+           |d AS (SELECT count(*) AS d FROM tol),
+           |w AS (SELECT p.token, p.class_id, CAST(floor(1000000 * d.d / df.df) AS BIGINT) AS w
+           |      FROM tpost p JOIN df USING (token) CROSS JOIN d),
+           |summed AS (SELECT q.query_id, w.class_id, CAST(SUM(w.w) AS BIGINT) AS idf_w
+           |           FROM fpost q JOIN w USING (token) GROUP BY 1, 2),
+           |cand AS (SELECT query_id AS from_id, class_id AS to_id FROM (
+           |  SELECT query_id, class_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idf_w DESC, class_id ASC) AS rnk
+           |  FROM summed) WHERE rnk <= 5),
+           |vec AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |scored AS (SELECT c.from_id, c.to_id,
+           |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+           |  FROM cand c JOIN vec a ON a.id = c.from_id JOIN vec b ON b.id = c.to_id)
+           |SELECT from_id, to_id, round(score, 6) AS score FROM (
+           |  SELECT from_id, to_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY from_id ORDER BY score DESC, to_id ASC) AS rnk
+           |  FROM scored) WHERE rnk <= 1""".stripMargin
+      }
     )
   }
 }

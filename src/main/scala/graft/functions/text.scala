@@ -65,6 +65,18 @@ object text {
     }
   }
 
+  /** Column form of `subwordTokens` — the tokenizer the inverted index
+    * plugs in to match the reference's WordPiece postings
+    * (onto_index.py:46-47). Same closed form as the plain-Scala twin:
+    * head piece of `piece` chars + "##"-prefixed continuations. */
+  def subwordTokensCol(c: Column, piece: Int = 4): Column =
+    flatten(transform(wordTokensCol(c), w =>
+      when(length(w) <= piece, array(w))
+        .otherwise(concat(
+          array(substring(w, 1, piece)),
+          transform(sequence(lit(piece + 1), length(w), lit(piece)),
+            i => concat(lit("##"), w.substr(i, lit(piece))))))))
+
   /** Sub-word token filter from the reference: keep tokens with
     * length > cut (onto_index.py:55-58; cut defaults 0, config.json:11). */
   def keepToken(t: String, cut: Int): Boolean = t.length > cut

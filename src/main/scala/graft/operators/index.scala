@@ -31,22 +31,28 @@ object index {
 
   /** Build postings (one row per (id, token)) from a table with an
     * `idCol` and an array<string> `labelsCol`.
-    * Reference: onto_index.py:49-60 (tokenize each label, keep len>cut). */
+    * Reference: onto_index.py:49-60 (tokenize each label, keep len>cut).
+    * The tokenizer is pluggable: `text.wordTokensCol` (default) or
+    * `text.subwordTokensCol(_)` to match the reference's WordPiece
+    * sub-word postings (onto_index.py:46-47) — morphologically-related
+    * labels then share head-piece postings. */
   def postings(classes: DataFrame, idCol: String, labelsCol: String,
-               cut: Int = 0): DataFrame = {
+               cut: Int = 0,
+               tokenizer: Column => Column = text.wordTokensCol): DataFrame = {
     classes
       .select(col(idCol).as("class_id"), explode(col(labelsCol)).as("label"))
-      .select(col("class_id"), explode(text.wordTokensCol(col("label"))).as("token"))
+      .select(col("class_id"), explode(tokenizer(col("label"))).as("token"))
       .filter(length(col("token")) > cut)
       .distinct() // a token appearing in several labels of one class posts once
   }
 
   /** Postings straight from a text column (graft path: mention/document
-    * text rather than label bags). */
+    * text rather than label bags). Same pluggable tokenizer contract. */
   def postingsFromText(docs: DataFrame, idCol: String, textCol: String,
-                       cut: Int = 0): DataFrame =
+                       cut: Int = 0,
+                       tokenizer: Column => Column = text.wordTokensCol): DataFrame =
     docs
-      .select(col(idCol).as("class_id"), explode(text.wordTokensCol(col(textCol))).as("token"))
+      .select(col(idCol).as("class_id"), explode(tokenizer(col(textCol))).as("token"))
       .filter(length(col("token")) > cut)
       .distinct()
 

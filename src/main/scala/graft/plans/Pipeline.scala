@@ -36,6 +36,10 @@ object Pipeline {
       kappa: Double = 0.9,          // extension threshold (extend_bertmap.py:108)
       maxExtendIter: Int = 5,       // 50 in reference; fixture DAGs are shallow
       tokenCut: Int = 0,            // onto_index cut (config.json:11)
+      subwordIndex: Boolean = true, // WordPiece-style sub-word postings
+                                    // (onto_index.py:46-47) — matches the
+                                    // reference's candidate recall for
+                                    // morphologically-related labels
       maxDfFrac: Double = 1.0,
       saltBuckets: Int = 1,
       scorer: score.ScorerParams = score.ScorerParams())
@@ -50,11 +54,16 @@ object Pipeline {
 
   /** Token postings of one side, shared by both alignment directions
     * (the same explode+distinct serves as index postings and as query
-    * tokens — build once, cache). */
-  def sidePostings(labels: DataFrame, tokenCut: Int): DataFrame =
+    * tokens — build once, cache). `subword` switches to the WordPiece-style
+    * sub-word tokenizer the reference indexes with (onto_index.py:46-47). */
+  def sidePostings(labels: DataFrame, tokenCut: Int,
+                   subword: Boolean = false): DataFrame = {
+    val tok = if (subword) text.subwordTokensCol(_: org.apache.spark.sql.Column)
+              else text.wordTokensCol(_: org.apache.spark.sql.Column)
     labels
-      .select(col("id").as("class_id"), explode(text.wordTokensCol(col("label"))).as("token"))
+      .select(col("id").as("class_id"), explode(tok(col("label"))).as("token"))
       .filter(length(col("token")) > tokenCut).distinct()
+  }
 
   /** One alignment direction: fix `from` side, search `to` side
     * (bert_classifier_map.py:54-88). Returns (from_id, to_id, score).
@@ -84,8 +93,8 @@ object Pipeline {
     * side and shared across the two directions. */
   def rawMappings(spark: SparkSession, srcLabels: DataFrame, tgtLabels: DataFrame,
                   p: Params): DataFrame = {
-    val srcPost = sidePostings(srcLabels, p.tokenCut).cache()
-    val tgtPost = sidePostings(tgtLabels, p.tokenCut).cache()
+    val srcPost = sidePostings(srcLabels, p.tokenCut, p.subwordIndex).cache()
+    val tgtPost = sidePostings(tgtLabels, p.tokenCut, p.subwordIndex).cache()
     // one action for both catalog sizes (every extra tiny SQL execution
     // costs real wall time on the serial critical path)
     val sizes = srcLabels.select(lit("src").as("s"), col("id"))

@@ -73,6 +73,24 @@ class IndexSpec extends SparkSuite {
     assert(out == Set(3L))
   }
 
+  test("sub-word postings: morphological variants share head-piece postings (onto_index.py:46-47)") {
+    import graft.functions.text
+    // word-level postings: 'cardiomyopathy' vs 'cardiomegaly' share nothing
+    val cls = Seq((1L, Seq("cardiomyopathy")), (2L, Seq("cardiomegaly")))
+      .toDF("cid", "labels")
+    val word = index.postings(cls, "cid", "labels")
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(word(1L).intersect(word(2L)).isEmpty)
+    // sub-word postings: both split to head piece 'card' (+ continuations)
+    val sub = index.postings(cls, "cid", "labels", 0, c => text.subwordTokensCol(c))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sub(1L).intersect(sub(2L)).contains("card"))
+    // Column tokenizer agrees with the plain-Scala twin exactly
+    assert(sub(1L) == text.subwordTokens("cardiomyopathy").toSet)
+    assert(text.subwordTokens("cardiomyopathy") ==
+      Seq("card", "##iomy", "##opat", "##hy"))
+  }
+
   test("fixed-point variant agrees with double variant on ranking") {
     val posting = index.postings(classes, "cid", "labels")
     val q = Seq((1L, "heart"), (1L, "failure"), (1L, "renal"))

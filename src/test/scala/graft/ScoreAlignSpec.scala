@@ -78,6 +78,31 @@ class ScoreAlignSpec extends SparkSuite {
     assert(align.atThreshold(a, 0.5).count() == 1)
   }
 
+  test("alignEmbeds: full embeds-mode mapping (class-embedding mean + IDF candidates + cosine n-best)") {
+    import graft.operators.embeds
+    // src class s1 and tgt class t1 share a label text -> cosine 1.0 top
+    val src = Seq(("s1", "acute heart failure"), ("s1", "cardiac failure"),
+      ("s2", "kidney stone")).toDF("id", "label")
+    val tgt = Seq(("t1", "acute heart failure"), ("t2", "renal calculus stone"))
+      .toDF("id", "label")
+    val out = embeds.alignEmbeds(spark, src, tgt, threshold = 0.1,
+        candidateLimit = 5, nbest = 1)
+      .select("entity1", "entity2", "value").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.contains(("s1", "t1")))
+    assert(out.contains(("s2", "t2"))) // shared 'stone' token -> candidate + positive cosine
+    // Scala oracle: cosine of (mean of s1's label vectors, t1's vector)
+    def emb(s: String) = graft.operators.score.embedKernel(s, 64).map(_.toDouble)
+    val s1 = emb("acute heart failure").zip(emb("cardiac failure")).map(p => (p._1 + p._2) / 2)
+    val t1 = emb("acute heart failure")
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(out(("s1", "t1")) - cos(s1, t1)) < 1e-9)
+    assert(out(("s1", "t1")) > out(("s2", "t2")))
+  }
+
   test("embedSentences: deterministic, L2-normalized, cosine-ready") {
     val df = Seq((1L, "heart failure"), (2L, "heart failure"), (3L, "kidney stone"))
       .toDF("id", "txt")
