@@ -13,8 +13,12 @@ object PlanCheck {
     val spark = Bench.session(8)
     import spark.implicits._
 
-    def check(name: String, wanted: Seq[String], unwanted: Seq[String] = Nil)(
+    def check(name: String, wanted: Seq[String], unwanted: Seq[String] = Nil,
+              execute: Boolean = false)(
         df: org.apache.spark.sql.DataFrame): Unit = {
+      // run THIS plan (not a derived count() query) so AQE finalizes and
+      // the string shows the real codegen spans
+      if (execute) df.queryExecution.executedPlan.execute().count()
       val plan = df.queryExecution.executedPlan.toString
       val missing = wanted.filterNot(plan.contains)
       val present = unwanted.filter(plan.contains)
@@ -47,8 +51,10 @@ object PlanCheck {
     }
 
     // 4. whole-stage codegen covers the scorer-adjacent relational work
-    // (codegen stages print as "*(n)" in the executed plan's simple string)
-    check("codegen spans in scorer pairs", wanted = Seq("*(1)")) {
+    // (codegen stages print as "*(n)" in the finalized plan's simple
+    // string), and the typed scorer leaves AQE owning the plan around it
+    check("codegen spans in scorer pairs",
+      wanted = Seq("*(1)", "BroadcastHashJoin", "MapPartitions"), execute = true) {
       SparkEntry.queries("q31_scorer_pairs")(spark, sfDir)
     }
 
@@ -69,7 +75,29 @@ object PlanCheck {
           .filter(_.onto == "src").collect().toSeq).toDF()
     }
 
-    // 7. Main-path: the observe() turns metric (CollectMetrics) must not
+    // 7. candidate join is size-conditional: forced hint broadcasts even
+    // with stats disabled; the default defers to Catalyst/AQE statistics
+    // (no broadcast once autoBroadcastJoinThreshold is off)
+    {
+      import graft.operators.index
+      val posting = index.postingsFromText(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      val q = posting.limit(50).select(col("class_id").as("query_id"), col("token"))
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        check("candidates: forced broadcast hint survives stats-off",
+          wanted = Seq("BroadcastHashJoin")) {
+          index.idfCandidates(q, posting, 500, 5, broadcastPostings = Some(true))
+        }
+        check("candidates: default join mode defers to size statistics",
+          wanted = Seq.empty, unwanted = Seq("BroadcastHashJoin")) {
+          index.idfCandidates(q, posting, 500, 5)
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
+    // 8. Main-path: the observe() turns metric (CollectMetrics) must not
     // block the same pruning — the transcript scan under spark-submit reads
     // only (conv_id, turn_idx, text) even with the metric attached
     check("Main-path observed scan still prunes", wanted = Seq("ReadSchema", "CollectMetrics"),

@@ -353,8 +353,12 @@ object SparkEntry {
           col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
         .select(col("a.p_partkey").as("from_id"), col("b.p_partkey").as("to_id"),
           col("a.p_name").as("l1"), col("b.p_name").as("l2"))
-      score.scoreLabelPairs(s, pairs)
-        .withColumn("pair_score", round(col("pair_score"), 6))
+      // typed MapPartitions variant: Catalyst/AQE keep owning the plan
+      // around the scorer (the df.rdd route is an optimizer barrier)
+      score.scoreLabelPairsTyped(s, pairs)
+        .select(col("from_id").cast("long").as("from_id"),
+          col("to_id").cast("long").as("to_id"), col("l1"), col("l2"),
+          round(col("pair_score"), 6).as("pair_score"))
     }),
 
     // --- multimodal plumbing -------------------------------------------------

@@ -74,6 +74,12 @@ object index {
    *                     pass 1.0 to disable and match the reference exactly)
    * @param saltBuckets  >1 adds a salt to pre-aggregate the skewed
    *                     (query,candidate) partial sums in two levels
+   * @param broadcastPostings Some(true) forces the broadcast hint (caller
+   *                     knows the postings are catalog-sized), Some(false)/
+   *                     None leaves the join strategy to Catalyst/AQE's
+   *                     size statistics (autoBroadcastJoinThreshold) — the
+   *                     safe default when the candidate side might not fit
+   *                     an executor
    *
    * Tie-break: the reference inherits Python's stable sort over insertion
    * order (onto_box.py:87-89); we pin (score desc, class_id asc) explicitly
@@ -81,7 +87,8 @@ object index {
    */
   def idfCandidates(queryTokens: DataFrame, posting: DataFrame, totalDocs: Long,
                     limit: Int, maxDfFrac: Double = 1.0,
-                    saltBuckets: Int = 1): DataFrame = {
+                    saltBuckets: Int = 1,
+                    broadcastPostings: Option[Boolean] = None): DataFrame = {
     val df0 = docFreq(posting)
     val dfKept =
       if (maxDfFrac >= 1.0) df0
@@ -94,7 +101,8 @@ object index {
 
     val joined = queryTokens
       .select(col("query_id"), col("token"))
-      .join(broadcast(tokenIdf), "token")
+      .join(if (broadcastPostings.contains(true)) broadcast(tokenIdf) else tokenIdf,
+        "token")
 
     val summed =
       if (saltBuckets <= 1) {
@@ -130,7 +138,8 @@ object index {
    */
   def idfCandidatesFixedPoint(queryTokens: DataFrame, posting: DataFrame,
                               totalDocs: Long, limit: Int,
-                              maxDfFrac: Double = 1.0): DataFrame = {
+                              maxDfFrac: Double = 1.0,
+                              broadcastPostings: Option[Boolean] = None): DataFrame = {
     val df0 = docFreq(posting)
     val dfKept =
       if (maxDfFrac >= 1.0) df0
@@ -140,7 +149,8 @@ object index {
       .select("token", "class_id", "w")
     val summed = queryTokens
       .select(col("query_id"), col("token"))
-      .join(broadcast(tokenW), "token")
+      .join(if (broadcastPostings.contains(true)) broadcast(tokenW) else tokenW,
+        "token")
       .groupBy("query_id", "class_id")
       .agg(sum("w").as("idf_w"))
     val w = Window.partitionBy("query_id")

@@ -24,7 +24,7 @@ object mentions {
     * allocation rate makes the job GC-bound and kills core scaling;
     * measured on local[32]: the trie kernel scales, the n-gram scan
     * anti-scales). */
-  final class TrieNode {
+  final class TrieNode extends Serializable {
     var matches: List[(String, String, String)] = Nil // (onto, iri, surface)
     var children: java.util.HashMap[String, TrieNode] = _
     def child(tok: String): TrieNode =
@@ -126,19 +126,24 @@ object mentions {
                    txt: String): Seq[(String, String, String)] =
     detectInTrie(buildTrie(dict), fastTokens(txt))
 
-  /** Transcripts → mentions. Batched mapPartitions with broadcast dict.
-    * Projects down to (conv_id, turn_idx, text) BEFORE the scan so parquet
-    * column pruning applies — the other transcript columns never leave
-    * storage (this matters at 10^12-turn scale far more than kernel speed). */
+  /** Transcripts → mentions. Batched mapPartitions with the BUILT trie
+    * broadcast once from the driver — executors deserialize it per JVM
+    * instead of rebuilding it per partition (at a 10M-surface catalog the
+    * per-partition rebuild is repeated executor CPU; TrieNode's
+    * HashMap/List graph java-serializes fine and its depth is the longest
+    * surface's token count). Projects down to (conv_id, turn_idx, text)
+    * BEFORE the scan so parquet column pruning applies — the other
+    * transcript columns never leave storage (this matters at 10^12-turn
+    * scale far more than kernel speed). */
   def detect(spark: SparkSession, turns: Dataset[Turn],
              classes: Seq[ClassText], maxWords: Int = 4): Dataset[Mention] = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(surfaceDict(classes))
+    val trieBc = spark.sparkContext.broadcast(buildTrie(surfaceDict(classes)))
     turns
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val trie = buildTrie(bc.value) // per-partition build: cheap vs rows
+        val trie = trieBc.value // built once, shipped once, shared per executor
         it.flatMap { case (convId, turnIdx, txt) =>
           detectInTrie(trie, fastTokens(txt)).map { case (onto, iriStr, surface) =>
             Mention(convId, turnIdx, onto, iriStr, surface)

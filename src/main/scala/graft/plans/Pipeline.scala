@@ -28,6 +28,10 @@ object Pipeline {
 
   final case class Params(
       candidateLimit: Int = 25,     // config.json:41-47 uses {25..200}
+      maxDictEntities: Long = 5000000L, // guard on the driver-side catalog
+                                    // collect feeding the broadcast trie —
+                                    // larger catalogs must use the
+                                    // join-based linker (operators.link)
       nbest: Int = 1,               // config.json:49
       pooling: String = "max",      // mean|max (config.json uses mean; max
                                     // suits the lexical stand-in scorer,
@@ -74,8 +78,11 @@ object Pipeline {
                    p: Params): DataFrame = {
     val qTokens = fromPostings.withColumnRenamed("class_id", "query_id")
 
+    // the postings side is a catalog dimension (bounded) — force the
+    // broadcast; callers with unbounded candidate sides use the default
+    // None and let AQE's size statistics pick the join strategy
     val cands = index.idfCandidates(qTokens, toPostings, d, p.candidateLimit,
-        p.maxDfFrac, p.saltBuckets)
+        p.maxDfFrac, p.saltBuckets, broadcastPostings = Some(true))
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
 
     val pairs = cands
@@ -138,7 +145,13 @@ object Pipeline {
     // behind the big scan instead of serializing after it. On a cluster
     // these are two independent stage DAGs the scheduler runs side by side.
     val mensF = Future {
-      val dict = classes.filter(col("onto") === "src").collect().toSeq
+      val dictDs = classes.filter(col("onto") === "src")
+      val nDict = dictDs.count()
+      require(nDict <= p.maxDictEntities,
+        s"catalog has $nDict entities > maxDictEntities=${p.maxDictEntities}: " +
+          "the driver-side collect + broadcast-trie path would OOM the driver; " +
+          "use the distributed join-based surface linker (operators.link) instead")
+      val dict = dictDs.collect().toSeq
       // stabilize = the per-conversation ordering window over
       // (conv_id, turn_idx) from the BASELINE invariant
       val m = mentions.stabilize(mentions.detect(spark, turns, dict).toDF()).cache()
