@@ -80,6 +80,17 @@ object index {
    *                     size statistics (autoBroadcastJoinThreshold) — the
    *                     safe default when the candidate side might not fit
    *                     an executor
+   * @param widthHint    >0 pins ONE query_id exchange of that width ahead
+   *                     of the aggregation; the (query,class) groupBy, the
+   *                     top-k window AND everything downstream of the
+   *                     returned frame reuse it (query_id ⊆ both keys).
+   *                     For catalog-sized inputs this stops AQE from
+   *                     coalescing the CPU-dense candidate chain to one
+   *                     task; leave 0 at transcript scale to keep the
+   *                     map-side partial aggregation ahead of the shuffle.
+   *                     Ignored when saltBuckets > 1 (the salt spreads hot
+   *                     tokens across reducers; a query_id repartition
+   *                     would defeat it).
    *
    * Tie-break: the reference inherits Python's stable sort over insertion
    * order (onto_box.py:87-89); we pin (score desc, class_id asc) explicitly
@@ -88,7 +99,8 @@ object index {
   def idfCandidates(queryTokens: DataFrame, posting: DataFrame, totalDocs: Long,
                     limit: Int, maxDfFrac: Double = 1.0,
                     saltBuckets: Int = 1,
-                    broadcastPostings: Option[Boolean] = None): DataFrame = {
+                    broadcastPostings: Option[Boolean] = None,
+                    widthHint: Int = 0): DataFrame = {
     val df0 = docFreq(posting)
     val dfKept =
       if (maxDfFrac >= 1.0) df0
@@ -106,7 +118,9 @@ object index {
 
     val summed =
       if (saltBuckets <= 1) {
-        joined.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
+        val in = if (widthHint > 0) joined.repartition(widthHint, col("query_id"))
+                 else joined
+        in.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
       } else {
         // two-level agg: partial per (query,candidate,salt), then final.
         // The salt derives from the *token* so a hot token's contributions

@@ -114,11 +114,27 @@ object mentions {
     * consumers key on. */
   def stabilize(mens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("conv_id"))
+    // ONE conv_id-partitioned shuffle serves both the dedup and the
+    // ordinal (a groupBy on the 4-col key would add a second, transcript-
+    // proportional exchange): sorted by (turn, onto, class, surface), the
+    // FIRST row of each (turn, onto, class) group carries min(surface) —
+    // the lag() comparison keeps exactly it — and the ordinal window's
+    // required sort is a prefix of the dedup window's, so Catalyst plans
+    // no second exchange or sort.
+    val wAll = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc,
+        col("surface").asc)
+    val wOrd = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc)
-    mens.groupBy("conv_id", "turn_idx", "onto", "class_iri")
-      .agg(min(col("surface")).as("surface"))
-      .withColumn("mention_ord", row_number().over(w))
+    val firstOfGroup =
+      lag(col("turn_idx"), 1).over(wAll).isNull ||
+        lag(col("turn_idx"), 1).over(wAll) =!= col("turn_idx") ||
+        lag(col("onto"), 1).over(wAll) =!= col("onto") ||
+        lag(col("class_iri"), 1).over(wAll) =!= col("class_iri")
+    mens.select("conv_id", "turn_idx", "onto", "class_iri", "surface")
+      .withColumn("_first", firstOfGroup)
+      .filter(col("_first")).drop("_first")
+      .withColumn("mention_ord", row_number().over(wOrd))
   }
 
   /** Compatibility shim for the n-gram API (tests, small callers). */

@@ -177,7 +177,19 @@ object score {
     import org.apache.spark.sql.expressions.Window
     require(pooling == "mean" || pooling == "max")
     val agg = if (pooling == "mean") avg(col("pair_score")) else max(col("pair_score"))
+    // one explicit from_id exchange right after the scorer barrier: the
+    // (from,to) pooling group (from ⊆ keys ⇒ clustering satisfied), the
+    // abandonment window and the caller's n-best window all reuse it —
+    // 3 exchanges collapse to 1. The scorer's typed mapPartitions erases
+    // partitioning info anyway, so this exchange is not avoidable; making
+    // it from_id-keyed makes it the only one. Pair volume here is already
+    // candidate-limit-bounded, so the lost pre-exchange partial agg is
+    // noise at any scale. The width is PINNED to the cluster parallelism:
+    // AQE sizes partitions by bytes and would coalesce this CPU-dense
+    // stage (per-pair edit-distance kernels on KB-sized rows) to a single
+    // task, serializing the scorer.
     val perPair = scoreLabelPairsTyped(spark, pairs, params)
+      .repartition(spark.sparkContext.defaultParallelism, col("from_id"))
       .groupBy("from_id", "to_id")
       .agg(agg.as("pooled"),
         max(when(col("l1") === col("l2"), 1).otherwise(0)).as("is_exact"))

@@ -81,8 +81,14 @@ object Pipeline {
     // the postings side is a catalog dimension (bounded) — force the
     // broadcast; callers with unbounded candidate sides use the default
     // None and let AQE's size statistics pick the join strategy
+    // widthHint pins ONE query_id exchange at cluster parallelism: the IDF
+    // aggregation, the top-k window AND the downstream scorer kernel all
+    // run that wide — AQE sizes partitions by bytes and would otherwise
+    // coalesce this CPU-dense catalog-side chain to single-task stages
+    // (measured: 2.1 s single-task scorer stages)
     val cands = index.idfCandidates(qTokens, toPostings, d, p.candidateLimit,
-        p.maxDfFrac, p.saltBuckets, broadcastPostings = Some(true))
+        p.maxDfFrac, p.saltBuckets, broadcastPostings = Some(true),
+        widthHint = spark.sparkContext.defaultParallelism)
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
 
     val pairs = cands
@@ -138,6 +144,10 @@ object Pipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val phaseLog = sys.env.contains("SPARK_GRAFT_PHASE_LOG")
+    val t00 = System.nanoTime()
+    def mark(name: String): Unit = if (phaseLog)
+      println(f"[phase] $name%-22s t+${(System.nanoTime() - t00) / 1e9}%6.2f s")
 
     // The transcript-proportional stage (mention detect over 10^12 turns at
     // target scale) is independent of the catalog-side alignment chain —
@@ -153,9 +163,15 @@ object Pipeline {
           "use the distributed join-based surface linker (operators.link) instead")
       val dict = dictDs.collect().toSeq
       // stabilize = the per-conversation ordering window over
-      // (conv_id, turn_idx) from the BASELINE invariant
-      val m = mentions.stabilize(mentions.detect(spark, turns, dict).toDF()).cache()
-      m.count()
+      // (conv_id, turn_idx) from the BASELINE invariant. Deliberately LAZY:
+      // the mention stream has exactly ONE downstream consumer (the triples
+      // materialization), so an eager cache+count here would pay the whole
+      // computation PLUS a columnar cache build whose long-lived batches
+      // drove executor GC to >60% of run time (measured via stage metrics:
+      // 115 GC-s of 185 run-s on the count stage) — the single final action
+      // computes the fused scan→detect→stabilize DAG exactly once instead.
+      val m = mentions.stabilize(mentions.detect(spark, turns, dict).toDF())
+      mark("mentions planned")
       m
     }
 
@@ -166,6 +182,7 @@ object Pipeline {
     val raw = precomputedRaw.getOrElse(
       align.atThreshold(rawMappings(spark, srcLabels, tgtLabels, p), p.threshold)
         .localCheckpoint(true))
+    mark("raw mappings done")
 
     val srcEdges = edges.toDF().filter(col("onto") === "src")
       .select("child_iri", "parent_iri").cache()
@@ -174,6 +191,7 @@ object Pipeline {
 
     val expansion = extend.extendMappings(spark, raw, srcEdges, tgtEdges,
       srcLabels, tgtLabels, p.kappa, p.maxExtendIter, p.scorer)
+    mark("extension done")
     // lazy: raw and the expansion parts are already materialized, so the
     // downstream re-reads recompute only a small groupBy — cheaper than a
     // dedicated checkpoint execution on the serial path
@@ -182,8 +200,10 @@ object Pipeline {
 
     val repaired = repair.repairMappings(extended, srcEdges, tgtEdges)
       .localCheckpoint(true)
+    mark("repair done")
 
     val mens = Await.result(mensF, Duration.Inf)
+    mark("mentions awaited")
 
     // repaired is 1-to-1 by construction (repair.oneToOne), so components
     // are single edges — the O(1)-round rule replaces the iterative CC
@@ -208,6 +228,7 @@ object Pipeline {
       .filter(col("child_iri") =!= col("parent_iri"))
       .distinct()
 
+    mark("canonicalize planned")
     val trip = canonical.triples(repaired, mensCanon, broaderCanon)
     (repaired, trip)
   }

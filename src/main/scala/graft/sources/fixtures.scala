@@ -151,7 +151,11 @@ object fixtures {
         val txt =
           if (tmpl.count(_ == '%') == 2) tmpl.format(c1, c2) else tmpl.format(c1)
         val tool = if (role == "tool") Tools(pick(ts, 5, Tools.size)) else null
-        Turn(f"conv-$c%06d", t, role, txt, tool,
+        // UUID-shaped conv id (high-entropy prefix, like real session ids):
+        // a shared low-entropy prefix ("conv-000…") would defeat the sort-
+        // prefix comparison every (conv_id, …)-keyed sort/window relies on
+        // and misrepresent the real workload's sort cost
+        Turn(f"$convSeed%016x-$c%x", t, role, txt, tool,
           new Timestamp(baseTs + c * 86400L + t * 60000L))
       }
     }

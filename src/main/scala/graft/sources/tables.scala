@@ -80,6 +80,31 @@ object tables {
   def readCorpus(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** OAEI alignment-RDF mappings scan (reference: oaei_utils.py:12-54) —
+    * the test-set ingestion tool: each <Cell> carries entity1/entity2
+    * resources, a relation and a measure. Parsed declaratively: whole-file
+    * text scan → regexp Cell extraction (explode parallelizes across
+    * cells; multiple alignment files parallelize across files) → column
+    * regexes. Returns (reference mappings: rel ∈ {=, <, >}, ignored
+    * mappings: rel = ?), mirroring the reference's two return lists. */
+  def readOaeiMappings(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+    val cells = raw.select(explode(regexp_extract_all(col("value"),
+      lit("(?s)<(?:\\w+:)?Cell[\\s>].*?</(?:\\w+:)?Cell>"), lit(0))).as("cell"))
+    val parsed = cells.select(
+      regexp_extract(col("cell"), "entity1[^>]*resource\\s*=\\s*[\"']([^\"']+)", 1).as("entity1"),
+      regexp_extract(col("cell"), "entity2[^>]*resource\\s*=\\s*[\"']([^\"']+)", 1).as("entity2"),
+      regexp_extract(col("cell"), "<(?:\\w+:)?relation>\\s*([^<]*?)\\s*</", 1).as("rel"),
+      regexp_extract(col("cell"), "<(?:\\w+:)?measure[^>]*>\\s*([^<]*?)\\s*</", 1)
+        .cast("double").as("value"))
+    val refs = parsed
+      .filter(col("rel").isin("=", ">", "<", "&gt;", "&lt;"))
+      .select("entity1", "entity2", "value")
+    val ignored = parsed.filter(col("rel") === "?")
+      .select("entity1", "entity2", "value")
+    (refs, ignored)
+  }
+
   /** Triples graph-table sink: partitioned by predicate. */
   def writeTriples(triples: DataFrame, path: String): Unit =
     triples.write.mode("overwrite").partitionBy("pred").parquet(path)

@@ -20,6 +20,39 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(back == Set(("null", "n/a", 0.5), ("a", "NULL", 1.0)))
   }
 
+  test("OAEI alignment-RDF scan: Cells split into reference (=,<,>) and ignored (?) mappings") {
+    val rdf =
+      """<?xml version="1.0" encoding="utf-8"?>
+        |<rdf:RDF xmlns="http://knowledgeweb.semanticweb.org/heterogeneity/alignment"
+        |  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |<Alignment><map><Cell>
+        |  <entity1 rdf:resource="http://onto.a/A1"/>
+        |  <entity2 rdf:resource="http://onto.b/B1"/>
+        |  <measure rdf:datatype="xsd:float">1.0</measure>
+        |  <relation>=</relation>
+        |</Cell></map>
+        |<map><Cell>
+        |  <entity1 rdf:resource="http://onto.a/A2"/>
+        |  <entity2 rdf:resource="http://onto.b/B2"/>
+        |  <measure rdf:datatype="xsd:float">0.7</measure>
+        |  <relation>?</relation>
+        |</Cell></map>
+        |<map><Cell>
+        |  <entity1 rdf:resource="http://onto.a/A3"/>
+        |  <entity2 rdf:resource="http://onto.b/B3"/>
+        |  <measure rdf:datatype="xsd:float">0.9</measure>
+        |  <relation>&lt;</relation>
+        |</Cell></map></Alignment></rdf:RDF>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("oaei").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "align.rdf"), rdf)
+    val (refs, ign) = tables.readOaeiMappings(spark, dir)
+    val r = refs.as[(String, String, Double)].collect().toSet
+    assert(r == Set(("http://onto.a/A1", "http://onto.b/B1", 1.0),
+      ("http://onto.a/A3", "http://onto.b/B3", 0.9)))
+    val i = ign.as[(String, String, Double)].collect().toSet
+    assert(i == Set(("http://onto.a/A2", "http://onto.b/B2", 0.7)))
+  }
+
   test("transcript table roundtrip: bucketed write, asserted-schema read") {
     val dir = Files.createTempDirectory("graft-tt").toString + "/transcripts"
     val t = fixtures.transcripts(spark, fixtures.tiny)
