@@ -35,6 +35,78 @@ object stream {
     }.toDF("conv_id", "turn_idx", "onto", "class_iri", "surface", "ts")
   }
 
+  /** Streaming mention row (detectStream output shape). */
+  final case class StreamMention(conv_id: String, turn_idx: Int, onto: String,
+                                 class_iri: String, surface: String,
+                                 ts: java.sql.Timestamp)
+
+  /** StreamMention + the stable per-conversation ordinal. */
+  final case class OrderedMention(conv_id: String, turn_idx: Int, onto: String,
+                                  class_iri: String, surface: String,
+                                  ts: java.sql.Timestamp, mention_ord: Int)
+
+  /** Per-conversation keyed state: next ordinal + (turn,onto,class) keys
+    * already emitted. Bounded by conversation length; evicted wholesale
+    * when the conversation goes idle past the event-time horizon. */
+  final case class ConvState(nextOrd: Int, seen: Set[String])
+
+  /**
+   * Streaming twin of `mentions.stabilize` — the custom-state operator of
+   * the engine (KeyValueGroupedDataset.flatMapGroupsWithState): assigns
+   * the stable per-conversation mention ordinal and collapses duplicate
+   * (turn, onto, class) evidence ACROSS micro-batches, keyed by conv_id.
+   *
+   * State discipline for 10^12-turn scale: state per active conversation
+   * is O(len(conversation)); conversations idle past `idleHorizon` (event
+   * time, driven by the input watermark) are evicted with their state —
+   * total state is bounded by the number of conversations active inside
+   * the watermark horizon, not by stream history.
+   *
+   * Ordering contract: rows are ordered by (turn_idx, onto, class_iri,
+   * surface) WITHIN each micro-batch before assignment, so for in-order
+   * per-conversation delivery (the transcript table contract) the
+   * ordinals equal the batch `stabilize` output; under cross-batch
+   * duplicate delivery the first-arrived surface wins (batch collapses to
+   * min(surface) globally — equal whenever delivery is turn-ordered).
+   */
+  def stabilizeStream(spark: SparkSession, mens: Dataset[StreamMention],
+                      idleHorizonMs: Long = 3600000L): Dataset[OrderedMention] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def assign(convId: String, it: Iterator[StreamMention],
+               state: GroupState[ConvState]): Iterator[OrderedMention] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val st = state.getOption.getOrElse(ConvState(1, Set.empty))
+        val rows = it.toVector
+          .sortBy(m => (m.turn_idx, m.onto, m.class_iri, m.surface))
+        var ord = st.nextOrd
+        var seen = st.seen
+        var maxTs = Long.MinValue
+        val out = Vector.newBuilder[OrderedMention]
+        rows.foreach { m =>
+          maxTs = math.max(maxTs, m.ts.getTime)
+          val k = s"${m.turn_idx}\u0001${m.onto}\u0001${m.class_iri}"
+          if (!seen(k)) {
+            seen += k
+            out += OrderedMention(m.conv_id, m.turn_idx, m.onto, m.class_iri,
+              m.surface, m.ts, ord)
+            ord += 1
+          }
+        }
+        state.update(ConvState(ord, seen))
+        if (maxTs != Long.MinValue)
+          state.setTimeoutTimestamp(maxTs + idleHorizonMs)
+        out.result().iterator
+      }
+    }
+    mens
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(assign)
+  }
+
   /** Windowed mention rate: 10-minute tumbling windows per entity with a
     * 30-minute watermark for late data. */
   def mentionRate(mentionsWithTs: DataFrame): DataFrame =

@@ -96,6 +96,43 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(rows == Set(("c1", 0, "src:C1")))
   }
 
+  test("stabilizeStream: per-conversation ordinals + cross-batch dedup via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.stream.StreamMention
+    val ms = MemoryStream[StreamMention]
+    val out = graft.streaming.stream.stabilizeStream(spark, ms.toDS())
+    val q = out.writeStream.format("memory").queryName("stab_out")
+      .outputMode("append").start()
+    // batch 1: two mentions in turn order + a duplicate inside the batch
+    ms.addData(
+      StreamMention("c1", 0, "src", "e1", "alpha", new Timestamp(1000L)),
+      StreamMention("c1", 0, "src", "e1", "alpha", new Timestamp(1000L)),
+      StreamMention("c1", 1, "src", "e2", "beta", new Timestamp(2000L)),
+      StreamMention("c2", 0, "src", "e9", "gamma", new Timestamp(1000L)))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate of (c1, 1, e2) plus a new mention
+    ms.addData(
+      StreamMention("c1", 1, "src", "e2", "beta", new Timestamp(2000L)),
+      StreamMention("c1", 2, "src", "e3", "delta", new Timestamp(3000L)))
+    q.processAllAvailable()
+    val rows = spark.sql("select conv_id, turn_idx, class_iri, mention_ord from stab_out")
+      .as[(String, Int, String, Int)].collect().toSet
+    q.stop()
+    // duplicates (in-batch AND cross-batch) collapsed; ordinals dense per conv
+    assert(rows == Set(
+      ("c1", 0, "e1", 1), ("c1", 1, "e2", 2), ("c1", 2, "e3", 3),
+      ("c2", 0, "e9", 1)))
+    // matches the batch stabilize ordinals for the same in-order data
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.mentions.stabilize(Seq(
+      ("c1", 0, "src", "e1", "alpha"), ("c1", 1, "src", "e2", "beta"),
+      ("c1", 2, "src", "e3", "delta"), ("c2", 0, "src", "e9", "gamma"))
+      .toDF("conv_id", "turn_idx", "onto", "class_iri", "surface"))
+      .select("conv_id", "turn_idx", "class_iri", "mention_ord")
+      .as[(String, Int, String, Int)].collect().toSet
+    assert(batch == rows)
+  }
+
   test("windowed mention rate with watermark (streaming agg)") {
     implicit val sqlCtx = spark.sqlContext
     val classes = Seq(ClassText("src", "src:C1", 0L, Seq("alpha")))
