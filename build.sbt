@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward the forked process's stdout UNPREFIXED: sbt's default logger
+// prepends "[info] " to every line, which breaks any downstream parser
+// expecting a bare JSON line from graft.Bench / graft.Verify
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
