@@ -80,6 +80,15 @@ object tables {
   def readCorpus(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Eval report CSV sink/scan (reference: report.to_csv eval_bertmap.py:242,
+    * pd.read_csv onto_map.py:152) — threshold-sweep tables are tiny; one
+    * headerful CSV part. */
+  def writeEvalCsv(report: DataFrame, path: String): Unit =
+    report.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  def readEvalCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
   /** OAEI alignment-RDF mappings scan (reference: oaei_utils.py:12-54) —
     * the test-set ingestion tool: each <Cell> carries entity1/entity2
     * resources, a relation and a measure. Parsed declaratively: whole-file

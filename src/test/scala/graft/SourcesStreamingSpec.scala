@@ -53,6 +53,17 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(i == Set(("http://onto.a/A2", "http://onto.b/B2", 0.7)))
   }
 
+  test("eval CSV roundtrip keeps the threshold-sweep rows") {
+    val report = Seq((0.5, 10L, 0.9, 0.8, 0.847), (0.7, 6L, 1.0, 0.6, 0.75))
+      .toDF("threshold", "n_mappings", "p", "r", "f1")
+    val dir = java.nio.file.Files.createTempDirectory("evalcsv").toString
+    tables.writeEvalCsv(report, dir)
+    val back = tables.readEvalCsv(spark, dir)
+      .select("threshold", "n_mappings", "f1")
+      .as[(Double, Long, Double)].collect().toSet
+    assert(back == Set((0.5, 10L, 0.847), (0.7, 6L, 0.75)))
+  }
+
   test("transcript table roundtrip: bucketed write, asserted-schema read") {
     val dir = Files.createTempDirectory("graft-tt").toString + "/transcripts"
     val t = fixtures.transcripts(spark, fixtures.tiny)
