@@ -475,6 +475,19 @@ object SparkEntry {
       embeds.alignOneSide(fromLab, toLab, vecs, vecs, toLab.count(),
           candidateLimit = 5, nbest = 1, fixedPointIdf = true)
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // --- NES-mode alignment (nes_map.py:36-77) — the codegen'd Column
+    // scorer over IDF candidates, fully declarative --------------------------
+    "q50_nes_align" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fromLab = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
+      val toLab = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
+      nes.alignOneSide(fromLab, toLab, toLab.count(),
+          candidateLimit = 5, nbest = 1, fixedPointIdf = true)
+        .withColumn("score", round(col("score"), 6))
     })
   )
 
@@ -1005,6 +1018,47 @@ object SparkEntry {
            |  SELECT from_id, to_id, score,
            |    ROW_NUMBER() OVER (PARTITION BY from_id ORDER BY score DESC, to_id ASC) AS rnk
            |  FROM scored) WHERE rnk <= 1""".stripMargin
+      },
+
+      "q50_nes_align" -> {
+        // the codegen'd lexical kernel replicated in SQL over NORMALIZED
+        // labels: exact ⇒ 1.0, else 0.5·tokenJaccard + 0.5·NES
+        val norm = (c: String) =>
+          s"trim(regexp_replace(lower(replace($c, '_', ' ')), '\\s+', ' ', 'g'))"
+        val tks = (c: String) =>
+          s"list_distinct(list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> ''))"
+        s"""WITH froml AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS label FROM documents WHERE doc_id < 250),
+           |tol AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS label FROM documents WHERE doc_id >= 250),
+           |fpost AS (SELECT DISTINCT id AS query_id, token FROM
+           |  (SELECT id, unnest(list_filter(string_split_regex(lower(label), '[^a-z0-9]+'), x -> x <> '')) AS token FROM froml)
+           |  WHERE length(token) > 0),
+           |tpost AS (SELECT DISTINCT id AS class_id, token FROM
+           |  (SELECT id, unnest(list_filter(string_split_regex(lower(label), '[^a-z0-9]+'), x -> x <> '')) AS token FROM tol)
+           |  WHERE length(token) > 0),
+           |df AS (SELECT token, count(*) AS df FROM tpost GROUP BY token),
+           |d AS (SELECT count(*) AS d FROM tol),
+           |w AS (SELECT p.token, p.class_id, CAST(floor(1000000 * d.d / df.df) AS BIGINT) AS w
+           |      FROM tpost p JOIN df USING (token) CROSS JOIN d),
+           |summed AS (SELECT q.query_id, w.class_id, CAST(SUM(w.w) AS BIGINT) AS idf_w
+           |           FROM fpost q JOIN w USING (token) GROUP BY 1, 2),
+           |cand AS (SELECT query_id AS from_id, class_id AS to_id FROM (
+           |  SELECT query_id, class_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idf_w DESC, class_id ASC) AS rnk
+           |  FROM summed) WHERE rnk <= 5),
+           |lab AS (SELECT c.from_id, c.to_id, ${norm("a.label")} AS na, ${norm("b.label")} AS nb
+           |        FROM cand c JOIN froml a ON a.id = c.from_id JOIN tol b ON b.id = c.to_id),
+           |pairsc AS (SELECT from_id, to_id,
+           |  CASE WHEN na = nb THEN 1.0 ELSE
+           |    0.5 * (CASE WHEN len(${tks("na")}) = 0 AND len(${tks("nb")}) = 0 THEN 1.0
+           |           ELSE CAST(len(list_intersect(${tks("na")}, ${tks("nb")})) AS DOUBLE)
+           |                / (len(${tks("na")}) + len(${tks("nb")}) - len(list_intersect(${tks("na")}, ${tks("nb")}))) END)
+           |    + 0.5 * (1.0 - levenshtein(na, nb) / greatest(length(na), length(nb))) END AS s
+           |  FROM lab),
+           |pooled AS (SELECT from_id, to_id, max(s) AS score FROM pairsc GROUP BY 1, 2)
+           |SELECT from_id, to_id, round(score, 6) AS score FROM (
+           |  SELECT from_id, to_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY from_id ORDER BY score DESC, to_id ASC) AS rnk
+           |  FROM pooled) WHERE rnk <= 1""".stripMargin
       }
     )
   }

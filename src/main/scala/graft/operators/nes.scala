@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/**
+ * NES-mode alignment — the reference's third mapping mode (`nes`,
+ * /root/reference/bertmap/map/nes_map.py:36-77, dispatched at
+ * run_bertmap.py:293-367): no model at all, the mapping score is the max
+ * normalized-edit-similarity (blended with token Jaccard here, exactly
+ * like the classifier stand-in's kernel) over the label cross-pairs of a
+ * candidate class pair.
+ *
+ * Spark shape: identical dataflow to the classifier mode, but the scorer
+ * is `score.pairScoreCol` — a pure Column expression, so the ENTIRE
+ * direction (candidates → pairs → score → pooling → n-best) is one
+ * declarative plan inside whole-stage codegen with no mapPartitions
+ * barrier. This is the third point on the scorer-pluggability axis:
+ * classifier (batched kernel), embeds (vector cosine), nes (codegen'd
+ * lexical).
+ */
+object nes {
+
+  /** One direction: IDF candidates from the token inverted index, label
+    * pairs scored by the codegen'd Column kernel, max-pooled per class
+    * pair (nes_map.py:73-77 takes the max over label pairs), n-best. */
+  def alignOneSide(fromLabels: DataFrame, toLabels: DataFrame, d: Long,
+                   candidateLimit: Int = 25, nbest: Int = 1,
+                   tokenizer: Column => Column = text.wordTokensCol,
+                   fixedPointIdf: Boolean = false): DataFrame = {
+    val from = fromLabels.select(col("id").cast("string").as("id"), col("label"))
+    val to = toLabels.select(col("id").cast("string").as("id"), col("label"))
+    val qTokens = index.postingsFromText(from, "id", "label", 0, tokenizer)
+      .withColumnRenamed("class_id", "query_id")
+    val toPost = index.postingsFromText(to, "id", "label", 0, tokenizer)
+    val cands = (if (fixedPointIdf)
+        index.idfCandidatesFixedPoint(qTokens, toPost, d, candidateLimit)
+      else index.idfCandidates(qTokens, toPost, d, candidateLimit))
+      .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
+    val scored = cands
+      .join(from.select(col("id").as("from_id"), col("label").as("l1")), "from_id")
+      .join(to.select(col("id").as("to_id"), col("label").as("l2")), "to_id")
+      .groupBy("from_id", "to_id")
+      .agg(max(score.pairScoreCol(col("l1"), col("l2"))).as("score"))
+    align.nBest(scored, nbest)
+  }
+}

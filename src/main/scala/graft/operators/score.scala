@@ -201,6 +201,32 @@ object score {
         when(col("is_exact") === 1, 1.0).otherwise(col("pooled")).as("score"))
   }
 
+  /**
+   * Column form of the lexical pair score — the codegen'd scorer variant:
+   * built entirely from whole-stage-codegen functions (levenshtein, array
+   * ops), so unlike the mapPartitions kernel it never breaks the codegen
+   * span or the optimizer's view of the plan. Exactly `scorePair`'s
+   * arithmetic: normalize both sides, exact match ⇒ 1.0, else
+   * jaccardWeight·tokenJaccard + editWeight·NES, where NES =
+   * 1 − levenshtein/max(len) is the reference's own `nes` mapping mode
+   * (nes_map.py:73-77). Use this for lexical/NES alignment; keep the
+   * mapPartitions kernel for batched model inference.
+   */
+  def pairScoreCol(l1: org.apache.spark.sql.Column, l2: org.apache.spark.sql.Column,
+                   jaccardWeight: Double = 0.5, editWeight: Double = 0.5)
+      : org.apache.spark.sql.Column = {
+    val a = text.normalizeCol(l1)
+    val b = text.normalizeCol(l2)
+    val ta = array_distinct(text.wordTokensCol(a))
+    val tb = array_distinct(text.wordTokensCol(b))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    val jac = when(size(ta) === 0 && size(tb) === 0, lit(1.0))
+      .otherwise(inter / (size(ta) + size(tb) - inter))
+    val nes = lit(1.0) - levenshtein(a, b) / greatest(length(a), length(b))
+    when(a === b, lit(1.0))
+      .otherwise(lit(jaccardWeight) * jac + lit(editWeight) * nes)
+  }
+
   /** Per-class-pair pooling of label-pair scores: mean (default) or max
     * (batch_pooling, bert_classifier_map.py:155-159). */
   def pool(scored: DataFrame, strategy: String = "mean"): DataFrame = {

@@ -103,6 +103,37 @@ class ScoreAlignSpec extends SparkSuite {
     assert(out(("s1", "t1")) > out(("s2", "t2")))
   }
 
+  test("pairScoreCol (codegen'd Column kernel) agrees with the batched scorer kernel") {
+    import graft.operators.score
+    val pairs = Seq(
+      ("heart failure", "heart failure"),          // exact -> 1.0
+      ("acute heart failure", "heart failure"),
+      ("kidney stone", "renal calculus"),
+      ("Severe_Asthma", "severe asthma"),          // normalization collapses
+      ("", "x"), ("a b c", "c b a"))
+      .toDF("l1", "l2")
+    val colScores = pairs
+      .select($"l1", $"l2", score.pairScoreCol($"l1", $"l2").as("s"))
+      .as[(String, String, Double)].collect()
+    colScores.foreach { case (a, b, s) =>
+      val expected = score.scorePair(score.ScorerParams(), a, b)
+      assert(math.abs(s - expected) < 1e-12, s"($a, $b): col=$s kernel=$expected")
+    }
+  }
+
+  test("nes.alignOneSide: NES-mode mapping, exact label match tops") {
+    import graft.operators.nes
+    val from = Seq(("s1", "acute heart failure"), ("s2", "kidney stone"))
+      .toDF("id", "label")
+    val to = Seq(("t1", "acute heart failure"), ("t2", "renal kidney calculus stone"))
+      .toDF("id", "label")
+    val out = nes.alignOneSide(from, to, d = 2, candidateLimit = 5, nbest = 1)
+      .select("from_id", "to_id", "score").as[(String, String, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("s1") == ("t1", 1.0))
+    assert(out("s2")._1 == "t2" && out("s2")._2 > 0.0 && out("s2")._2 < 1.0)
+  }
+
   test("embedSentences: deterministic, L2-normalized, cosine-ready") {
     val df = Seq((1L, "heart failure"), (2L, "heart failure"), (3L, "kidney stone"))
       .toDF("id", "txt")
