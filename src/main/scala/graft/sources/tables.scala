@@ -114,6 +114,39 @@ object tables {
     (refs, ignored)
   }
 
+  /** Minimal OWL/RDF-XML catalog scan (reference loads ontologies with
+    * owlready2, onto_box.py:47): named classes with their rdfs:labels and
+    * named-parent rdfs:subClassOf edges — exactly the subset the
+    * alignment dataflow consumes (classtexts + hierarchy). Declarative:
+    * whole-file text scan → regexp class-block extraction (explode
+    * parallelizes across classes, multiple files across files) → column
+    * regexes. Anonymous/restriction axioms are out of scope by design:
+    * the reference's reasoning lives inside owlready2, and the engine
+    * consumes only labels + the named is-a graph.
+    *
+    * @return (classes(onto, class_iri, labels: array<string>),
+    *          edges(onto, child_iri, parent_iri)) */
+  def readOwlCatalog(spark: SparkSession, path: String,
+                     onto: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+    val blocks = raw.select(explode(regexp_extract_all(col("value"),
+      lit("(?s)<owl:Class rdf:about=[\"'][^\"']+[\"'].*?</owl:Class>"), lit(0))).as("blk"))
+    val parsed = blocks.select(
+      regexp_extract(col("blk"), "<owl:Class rdf:about=[\"']([^\"']+)", 1).as("class_iri"),
+      regexp_extract_all(col("blk"),
+        lit("<rdfs:label[^>]*>\\s*([^<]*?)\\s*</rdfs:label>"), lit(1)).as("labels"),
+      regexp_extract_all(col("blk"),
+        lit("<rdfs:subClassOf[^>]*rdf:resource=[\"']([^\"']+)[\"']"), lit(1)).as("parents"))
+      .filter(col("class_iri") =!= "")
+    val classes = parsed
+      .filter(size(col("labels")) > 0)
+      .select(lit(onto).as("onto"), col("class_iri"), col("labels"))
+    val edges = parsed
+      .select(col("class_iri").as("child_iri"), explode(col("parents")).as("parent_iri"))
+      .select(lit(onto).as("onto"), col("child_iri"), col("parent_iri"))
+    (classes, edges)
+  }
+
   /** Triples graph-table sink: partitioned by predicate. */
   def writeTriples(triples: DataFrame, path: String): Unit =
     triples.write.mode("overwrite").partitionBy("pred").parquet(path)

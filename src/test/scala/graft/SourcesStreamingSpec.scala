@@ -53,6 +53,36 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(i == Set(("http://onto.a/A2", "http://onto.b/B2", 0.7)))
   }
 
+  test("OWL catalog scan: named classes with labels + named-parent subClassOf edges") {
+    val owl =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:owl="http://www.w3.org/2002/07/owl#"
+        |  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+        |<owl:Class rdf:about="http://onto.a/HeartDisease">
+        |  <rdfs:label>heart disease</rdfs:label>
+        |  <rdfs:label xml:lang="en">cardiac disease</rdfs:label>
+        |  <rdfs:subClassOf rdf:resource="http://onto.a/Disease"/>
+        |</owl:Class>
+        |<owl:Class rdf:about="http://onto.a/Disease">
+        |  <rdfs:label>disease</rdfs:label>
+        |</owl:Class>
+        |<owl:Class rdf:about="http://onto.a/Anon">
+        |  <rdfs:subClassOf><owl:Restriction/></rdfs:subClassOf>
+        |</owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("owl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "cat.owl"), owl)
+    val (classes, edges) = tables.readOwlCatalog(spark, dir, "src")
+    val cls = classes.as[(String, String, Seq[String])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(cls("http://onto.a/HeartDisease") == Seq("heart disease", "cardiac disease"))
+    assert(cls("http://onto.a/Disease") == Seq("disease"))
+    assert(!cls.contains("http://onto.a/Anon")) // label-less class dropped
+    val e = edges.as[(String, String, String)].collect().toSet
+    assert(e == Set(("src", "http://onto.a/HeartDisease", "http://onto.a/Disease")))
+  }
+
   test("eval CSV roundtrip keeps the threshold-sweep rows") {
     val report = Seq((0.5, 10L, 0.9, 0.8, 0.847), (0.7, 6L, 1.0, 0.6, 0.75))
       .toDF("threshold", "n_mappings", "p", "r", "f1")
