@@ -36,6 +36,12 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // execution memory off-heap: on-heap sort/window pages are live
+      // young-gen data copied on every GC — measured multi-second young
+      // pauses and 3x wall at transcript scale (BENCH/BASELINE.md)
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "8g"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     import spark.implicits._
