@@ -441,7 +441,6 @@ object SparkEntry {
           graft.functions.iri.expand(col("abbrev"), prefixes))
     }),
 
-    // --- non-SQL-expressible ops (rows-only checks) --------------------------
     "q39_extend_loop" -> ((s, dir) => {
       val e = t(s, dir, "nation").join(t(s, dir, "region"),
           col("n_regionkey") === col("r_regionkey"))
@@ -451,6 +450,7 @@ object SparkEntry {
       val seeds = t(s, dir, "nation").select(
         col("n_name").as("entity1"), col("n_name").as("entity2"), lit(1.0).as("value"))
       extend.extendMappings(s, seeds, e, e, labels, labels, 0.9, 3)
+        .withColumn("value", round(col("value"), 6))
     }),
 
     "q40_pipeline_e2e" -> ((s, dir) => Pipeline.flagship(s)),
@@ -1018,6 +1018,52 @@ object SparkEntry {
            |  SELECT from_id, to_id, score,
            |    ROW_NUMBER() OVER (PARTITION BY from_id ORDER BY score DESC, to_id ASC) AS rnk
            |  FROM scored) WHERE rnk <= 1""".stripMargin
+      },
+
+      "q39_extend_loop" -> {
+        // the greedy extension loop unrolled to its maxIter=3 bound: each
+        // hop = parent×parent ∪ child×child of the frontier, seen-set
+        // anti-join, lexical score (same kernel as q50) with the exact-
+        // match short-circuit, keep >= kappa; an empty frontier stays
+        // empty, so the unrolled form equals the early-exit loop
+        val tks = (c: String) =>
+          s"list_distinct(list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> ''))"
+        val scoreSql = {
+          val (na, nb) = ("la.label", "lb.label")
+          s"""CASE WHEN $na = $nb THEN 1.0 ELSE
+             |    0.5 * (CASE WHEN len(${tks(na)}) = 0 AND len(${tks(nb)}) = 0 THEN 1.0
+             |           ELSE CAST(len(list_intersect(${tks(na)}, ${tks(nb)})) AS DOUBLE)
+             |                / (len(${tks(na)}) + len(${tks(nb)}) - len(list_intersect(${tks(na)}, ${tks(nb)}))) END)
+             |    + 0.5 * (1.0 - levenshtein($na, $nb) / greatest(length($na), length($nb))) END""".stripMargin
+        }
+        def hop(i: Int, frontier: String, seen: String) =
+          s"""cand$i AS (
+             |  SELECT DISTINCT entity1, entity2 FROM (
+             |    SELECT e1.parent AS entity1, e2.parent AS entity2
+             |    FROM $frontier f JOIN e e1 ON e1.child = f.entity1 JOIN e e2 ON e2.child = f.entity2
+             |    UNION ALL
+             |    SELECT e1.child AS entity1, e2.child AS entity2
+             |    FROM $frontier f JOIN e e1 ON e1.parent = f.entity1 JOIN e e2 ON e2.parent = f.entity2)),
+             |cand${i}k AS (SELECT * FROM cand$i ANTI JOIN $seen USING (entity1, entity2)),
+             |kept$i AS (SELECT * FROM (
+             |  SELECT c.entity1, c.entity2,
+             |    greatest(avg($scoreSql),
+             |             max(CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END)) AS value
+             |  FROM cand${i}k c JOIN lab la ON la.id = c.entity1 JOIN lab lb ON lb.id = c.entity2
+             |  GROUP BY 1, 2) WHERE value >= 0.9),
+             |seen$i AS (SELECT entity1, entity2 FROM $seen UNION SELECT entity1, entity2 FROM kept$i),
+             |fr$i AS (SELECT entity1, entity2 FROM kept$i)""".stripMargin
+        s"""WITH e AS (SELECT n.n_name AS child, r.r_name AS parent
+           |           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+           |lab AS (SELECT n_name AS id, lower(n_name) AS label FROM nation
+           |        UNION ALL SELECT r_name AS id, lower(r_name) AS label FROM region),
+           |seen0 AS (SELECT DISTINCT n_name AS entity1, n_name AS entity2 FROM nation),
+           |fr0 AS (SELECT entity1, entity2 FROM seen0),
+           |${hop(1, "fr0", "seen0")},
+           |${hop(2, "fr1", "seen1")},
+           |${hop(3, "fr2", "seen2")}
+           |SELECT entity1, entity2, round(value, 6) AS value FROM (
+           |  SELECT * FROM kept1 UNION ALL SELECT * FROM kept2 UNION ALL SELECT * FROM kept3)""".stripMargin
       },
 
       "q50_nes_align" -> {
