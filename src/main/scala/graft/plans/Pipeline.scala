@@ -27,6 +27,9 @@ import graft.sources.fixtures
 object Pipeline {
 
   final case class Params(
+      mode: String = "classifier",  // classifier | nes | embeds — the
+                                    // reference's three mapping modes
+                                    // (run_bertmap.py:293-367 dispatch)
       candidateLimit: Int = 25,     // config.json:41-47 uses {25..200}
       maxDictEntities: Long = 5000000L, // guard on the driver-side catalog
                                     // collect feeding the broadcast trie —
@@ -102,10 +105,36 @@ object Pipeline {
     align.nBest(score.clamp(all), p.nbest)
   }
 
-  /** Both directions + union (onto_map.py:146). Postings built once per
-    * side and shared across the two directions. */
+  /** Both directions + union (onto_map.py:146), dispatched on `p.mode`
+    * exactly like the reference's run_bertmap mode switch: `classifier`
+    * (batched-kernel scorer — the default), `nes` (codegen'd lexical
+    * Column scorer), `embeds` (class-embedding cosine). */
   def rawMappings(spark: SparkSession, srcLabels: DataFrame, tgtLabels: DataFrame,
-                  p: Params): DataFrame = {
+                  p: Params): DataFrame = p.mode match {
+    case "classifier" => rawMappingsClassifier(spark, srcLabels, tgtLabels, p)
+    case "nes" =>
+      val dSrc = srcLabels.select("id").distinct().count()
+      val dTgt = tgtLabels.select("id").distinct().count()
+      val tok = if (p.subwordIndex) text.subwordTokensCol(_: org.apache.spark.sql.Column)
+                else text.wordTokensCol(_: org.apache.spark.sql.Column)
+      align.combine(
+        align.orient(nes.alignOneSide(srcLabels, tgtLabels, dTgt,
+          p.candidateLimit, p.nbest, tok), fromIsSrc = true),
+        align.orient(nes.alignOneSide(tgtLabels, srcLabels, dSrc,
+          p.candidateLimit, p.nbest, tok), fromIsSrc = false))
+    case "embeds" =>
+      val tok = if (p.subwordIndex) text.subwordTokensCol(_: org.apache.spark.sql.Column)
+                else text.wordTokensCol(_: org.apache.spark.sql.Column)
+      // threshold 0: run() applies the acceptance threshold uniformly
+      embeds.alignEmbeds(spark, srcLabels, tgtLabels, 0.0,
+        p.candidateLimit, p.nbest, tokenizer = tok)
+    case other => throw new IllegalArgumentException(
+      s"unknown mapping mode '$other' (classifier | nes | embeds, run_bertmap.py:293-367)")
+  }
+
+  /** Classifier-mode raw mappings (the default path). */
+  def rawMappingsClassifier(spark: SparkSession, srcLabels: DataFrame,
+                            tgtLabels: DataFrame, p: Params): DataFrame = {
     val srcPost = sidePostings(srcLabels, p.tokenCut, p.subwordIndex).cache()
     val tgtPost = sidePostings(tgtLabels, p.tokenCut, p.subwordIndex).cache()
     // one action for both catalog sizes (every extra tiny SQL execution

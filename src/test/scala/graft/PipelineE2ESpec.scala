@@ -45,6 +45,30 @@ class PipelineE2ESpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("mode dispatch: nes mode equals classifier mode (same lexical kernel), embeds mode aligns") {
+    val src = Pipeline.sideLabels(classes, "src")
+    val tgt = Pipeline.sideLabels(classes, "tgt")
+    def maps(mode: String) =
+      Pipeline.rawMappings(spark, src, tgt, Pipeline.Params(mode = mode))
+        .select("entity1", "entity2").as[(String, String)].collect().toSet
+    // the classifier stand-in IS the lexical kernel, so nes mode must
+    // produce the identical mapping set
+    assert(maps("nes") == maps("classifier"))
+    // embeds mode is a different scorer (hashed-BoW cosine) — assert it
+    // produces a usable alignment rather than identical output
+    val ref = refs.filter(!$"is_ignored")
+      .select("entity1", "entity2").as[(String, String)].collect().toSet
+    val emb = Pipeline.rawMappings(spark, src, tgt, Pipeline.Params(mode = "embeds"))
+    val embBest = graft.operators.align.atThreshold(emb, 0.5)
+      .select("entity1", "entity2").as[(String, String)].collect().toSet
+    val tp = embBest.intersect(ref).size.toDouble
+    info(s"embeds mode: ${embBest.size} mappings, P=${tp / embBest.size}, R=${tp / ref.size}")
+    assert(embBest.nonEmpty && tp / embBest.size >= 0.5,
+      s"embeds-mode precision ${tp / embBest.size} unusably low")
+    intercept[IllegalArgumentException](
+      Pipeline.rawMappings(spark, src, tgt, Pipeline.Params(mode = "bogus")))
+  }
+
   test("run consumes precomputed mappings: alignment chain executes zero times on resume") {
     // hand the run a crafted mapping set that natural alignment would never
     // produce alone; if the chain re-ran, sameAs would contain its full
