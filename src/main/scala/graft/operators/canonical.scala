@@ -62,9 +62,17 @@ object canonical {
       labels = jumped
       iter += 1
     }
-    // final path compression: resolve any residual canonical chains
+    // final path compression: resolve any residual canonical chains.
+    // Convergence is guaranteed (each pass strictly compresses), but a
+    // hard cap bounds the job if an upstream invariant ever breaks —
+    // 64 doublings cover any chain shorter than 2^64.
     var changed = 1L
+    var compressIter = 0
     while (changed > 0) {
+      require(compressIter < 64,
+        "connectedComponents: path compression did not converge in 64 " +
+          "passes — canonical pointers contain a cycle (corrupt labels?)")
+      compressIter += 1
       val next = labels.as("x")
         .join(labels.select(col("id").as("cid"), col("canonical").as("cc")).as("y"),
           col("x.canonical") === col("y.cid"))

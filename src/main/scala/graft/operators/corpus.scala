@@ -39,18 +39,26 @@ object corpus {
       .select(col("sent1"), col("sent1").as("sent2"),
         lit(1).as("label"), lit("id_syn").as("kind"))
 
-  /** Soft nonsynonyms: per label, `rate` random other-class labels, seeded;
-    * rejected if the pair is already a synonym (intra_onto.py:78-107,
-    * exclude_randrange general_utils.py:26-30 — the (idx+1+k)%D draw
-    * guarantees a class ≠ self without re-drawing). */
-  def softNonsynonyms(classes: DataFrame, rate: Int, seed: Long): DataFrame = {
-    val d = classes.count()
-    if (d < 2) return classes.sparkSession.emptyDataFrame
-      .withColumn("sent1", lit("")).limit(0)
-      .select(col("sent1"), col("sent1").as("sent2"), lit(0).as("label"), lit("soft_neg").as("kind"))
-    // global window: classes is a catalog DIMENSION (bounded, ~10^5-10^6
-    // rows at the largest real catalogs) — the single-task sort is a few MB.
-    // Transcript-proportional data never flows through here.
+  /** Enforced bound on the dimension tables whose global index window
+    * funnels through one task (classes in softNonsynonyms, mappings in
+    * crossSoftNonsynonyms). The catalogs the reference aligns are 10^3-10^4
+    * classes; the largest real ontologies are ~10^7 — beyond that the
+    * single-task sort is no longer "a few MB" and the job must fail loudly
+    * instead of silently serializing (mirrors Pipeline.maxDictEntities). */
+  val maxDim: Long = 10000000L
+
+  private def requireDim(n: Long, what: String): Unit =
+    require(n <= maxDim,
+      s"$what has $n rows > maxDim=$maxDim: the global index window would " +
+        "funnel the whole dimension through one task; shard the catalog or " +
+        "precompute a distributed zipWithIndex before sampling")
+
+  /** Raw soft-negative draws BEFORE negative_sample_check — the input to
+    * both the kept set and the violation counter. */
+  private def softNonsynonymDraws(classes: DataFrame, rate: Int, seed: Long,
+                                  d: Long): DataFrame = {
+    // global window: classes is a catalog DIMENSION (bounded — enforced by
+    // requireDim). Transcript-proportional data never flows through here.
     val w = Window.orderBy("class_iri")
     val indexed = classes
       .withColumn("idx", row_number().over(w).cast("long") - 1)
@@ -59,7 +67,7 @@ object corpus {
     // rate draws per (class, label): explode a draw dimension, derive the
     // partner index without self via modular shift. Draws are keyed on
     // (class idx, label, draw ordinal) content — partition-invariant.
-    val draws = indexed
+    indexed
       .select(col("idx"), explode(col("labels")).as("sent1"))
       .withColumn("draw", explode(sequence(lit(0), lit(rate - 1))))
       .withColumn("r",
@@ -71,15 +79,47 @@ object corpus {
           size(col("o_labels")).cast("long")) + 1).cast("int"))
       .withColumn("sent2", element_at(col("o_labels"), col("pick")))
       .select(col("sent1"), col("sent2"))
-      .filter(col("sent1") =!= col("sent2"))
+  }
 
+  /** Soft nonsynonyms: per label, `rate` random other-class labels, seeded;
+    * rejected if the pair is already a synonym (intra_onto.py:78-107,
+    * exclude_randrange general_utils.py:26-30 — the (idx+1+k)%D draw
+    * guarantees a class ≠ self without re-drawing). */
+  def softNonsynonyms(classes: DataFrame, rate: Int, seed: Long): DataFrame = {
+    val d = classes.count()
+    if (d < 2) return classes.sparkSession.emptyDataFrame
+      .withColumn("sent1", lit("")).limit(0)
+      .select(col("sent1"), col("sent1").as("sent2"), lit(0).as("label"), lit("soft_neg").as("kind"))
+    requireDim(d, "softNonsynonyms classes")
+    val draws = softNonsynonymDraws(classes, rate, seed, d)
+      .filter(col("sent1") =!= col("sent2"))
     // negative_sample_check (basic_corpus.py:141-153): not a synonym in
     // either direction
-    val syn = intraSynonyms(classes).select("sent1", "sent2")
-    val synBoth = syn.unionByName(syn.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
-    draws.join(synBoth, Seq("sent1", "sent2"), "left_anti")
+    draws.join(synonymPairsBothOf(classes), Seq("sent1", "sent2"), "left_anti")
       .withColumn("label", lit(0))
       .withColumn("kind", lit("soft_neg"))
+  }
+
+  /** Rejected soft-negative draws — the reference's `violations` list
+    * (intra_onto.py:99-103: a draw failing negative_sample_check — identical
+    * labels or an existing synonym pair — is recorded, and
+    * corpus_info["nonsynonyms"]["removed_violations"] reports the count at
+    * intra_onto.py:58). Same draws as `softNonsynonyms`, complement side. */
+  def softNonsynonymViolations(classes: DataFrame, rate: Int, seed: Long): DataFrame = {
+    val d = classes.count()
+    if (d < 2) return classes.sparkSession.emptyDataFrame
+      .withColumn("sent1", lit("")).limit(0)
+      .select(col("sent1"), col("sent1").as("sent2"), lit("soft_neg_violation").as("kind"))
+    requireDim(d, "softNonsynonyms classes")
+    violationsOf(softNonsynonymDraws(classes, rate, seed, d),
+      synonymPairsBothOf(classes), "soft_neg_violation")
+  }
+
+  /** Synonym pairs of a catalog in both directions (the alias sets
+    * negative_sample_check consults). */
+  private def synonymPairsBothOf(classes: DataFrame): DataFrame = {
+    val syn = intraSynonyms(classes).select("sent1", "sent2")
+    syn.unionByName(syn.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
   }
 
   /** Hard nonsynonyms: label pairs across sibling classes of a common
@@ -93,6 +133,27 @@ object corpus {
   def hardNonsynonyms(classes: DataFrame, edges: DataFrame,
                       depthThreshold: Int = Int.MaxValue,
                       parentDepths: Option[DataFrame] = None): DataFrame = {
+    val raw = hardNonsynonymRaw(classes, edges, depthThreshold, parentDepths)
+    raw.filter(col("sent1") =!= col("sent2"))
+      .join(synonymPairsBothOf(classes), Seq("sent1", "sent2"), "left_anti")
+      .withColumn("label", lit(0))
+      .withColumn("kind", lit("hard_neg"))
+  }
+
+  /** Rejected hard-negative pairs — the violations side of hardNonsynonyms
+    * (intra_onto.py:143-147: sibling label pairs failing
+    * negative_sample_check are appended to `violations` and counted as
+    * removed_violations at intra_onto.py:58). */
+  def hardNonsynonymViolations(classes: DataFrame, edges: DataFrame,
+                               depthThreshold: Int = Int.MaxValue,
+                               parentDepths: Option[DataFrame] = None): DataFrame =
+    violationsOf(hardNonsynonymRaw(classes, edges, depthThreshold, parentDepths),
+      synonymPairsBothOf(classes), "hard_neg_violation")
+
+  /** Raw sibling label cross-pairs BEFORE negative_sample_check. */
+  private def hardNonsynonymRaw(classes: DataFrame, edges: DataFrame,
+                                depthThreshold: Int,
+                                parentDepths: Option[DataFrame]): DataFrame = {
     val keptEdges = parentDepths match {
       case Some(d) if depthThreshold != Int.MaxValue =>
         edges.join(
@@ -107,17 +168,21 @@ object corpus {
       .select(col("a.child_iri").as("c1"), col("b.child_iri").as("c2"))
       .distinct()
     val lab = classes.select(col("class_iri"), explode(col("labels")).as("l"))
-    val pairs = sib
+    sib
       .join(lab.select(col("class_iri").as("c1"), col("l").as("sent1")), "c1")
       .join(lab.select(col("class_iri").as("c2"), col("l").as("sent2")), "c2")
       .select("sent1", "sent2")
-      .filter(col("sent1") =!= col("sent2"))
-    val syn = intraSynonyms(classes).select("sent1", "sent2")
-    val synBoth = syn.unionByName(syn.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
-    pairs.join(synBoth, Seq("sent1", "sent2"), "left_anti")
-      .withColumn("label", lit(0))
-      .withColumn("kind", lit("hard_neg"))
   }
+
+  /** Draws failing negative_sample_check (identical labels or an existing
+    * synonym pair either direction), tagged `kind` — multiplicity preserved
+    * so counts match the reference's per-occurrence violations list. */
+  private def violationsOf(raw: DataFrame, synBoth: DataFrame,
+                           kind: String): DataFrame =
+    raw.filter(col("sent1") === col("sent2"))
+      .unionByName(raw.filter(col("sent1") =!= col("sent2"))
+        .join(synBoth, Seq("sent1", "sent2"), "left_semi"))
+      .withColumn("kind", lit(kind))
 
   /** Cross-catalog synonyms from seed mappings: all src-label × tgt-label
     * pairs, both directions (cross_onto.py:82-100). */
@@ -242,14 +307,50 @@ object corpus {
       .select(col("sent1"), col("sent1").as("sent2"),
         lit(0).as("label"), lit("co_soft_neg").as("kind"))
     if (m < 2) return empty
-    // mapping set is seed/alignment-sized (bounded): global index window ok
+    requireDim(m, "crossSoftNonsynonyms mappings")
+    val (drawn0, synBoth) = crossSoftDraws(maps, srcClasses, tgtClasses, rate, seed, m)
+    val drawn = drawn0.filter(col("sent1") =!= col("sent2"))
+    val kept = drawn.join(synBoth, Seq("sent1", "sent2"), "left_anti").distinct()
+    kept.unionByName(kept.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
+      .distinct()
+      .withColumn("label", lit(0))
+      .withColumn("kind", lit("co_soft_neg"))
+  }
+
+  /** Rejected cross-catalog soft-negative draws (cross_onto.py:139-147:
+    * draws failing negative_sample_check against the cross-synonym alias
+    * sets go to `violations`; removed_violations counts them at
+    * cross_onto.py:79). */
+  def crossSoftNonsynonymViolations(maps: DataFrame, srcClasses: DataFrame,
+                                    tgtClasses: DataFrame, rate: Int,
+                                    seed: Long): DataFrame = {
+    val m = maps.select("entity1", "entity2").distinct().count()
+    if (m < 2) return maps.sparkSession.emptyDataFrame
+      .withColumn("sent1", lit("")).limit(0)
+      .select(col("sent1"), col("sent1").as("sent2"),
+        lit("co_soft_neg_violation").as("kind"))
+    requireDim(m, "crossSoftNonsynonyms mappings")
+    val (drawn, synBoth) = crossSoftDraws(maps, srcClasses, tgtClasses, rate, seed, m)
+    violationsOf(drawn, synBoth, "co_soft_neg_violation")
+  }
+
+  /** Raw cross-soft draws (both sides, multiplicity preserved) plus the
+    * cross-synonym pair set the check consults. Intermediates are
+    * localCheckpoint'd, NOT cache()'d: cached plans pin storage memory in
+    * the shared CacheManager for the session's lifetime, while checkpoint
+    * blocks are released when the DataFrame is garbage-collected — repeated
+    * corpus builds in a long-lived session stay flat. */
+  private def crossSoftDraws(maps: DataFrame, srcClasses: DataFrame,
+                             tgtClasses: DataFrame, rate: Int, seed: Long,
+                             m: Long): (DataFrame, DataFrame) = {
+    // mapping set is seed/alignment-sized (bounded — requireDim'd by callers)
     val w = Window.orderBy("entity1", "entity2")
     val idx = maps.select("entity1", "entity2").distinct()
       .withColumn("midx", row_number().over(w).cast("long") - 1)
     val srcLab = srcClasses.select(col("class_iri").as("entity1"), col("labels").as("src_labels"))
     val tgtLab = tgtClasses.select(col("class_iri").as("entity2"), col("labels").as("tgt_labels"))
     val withLabels = idx.join(srcLab, "entity1").join(tgtLab, "entity2")
-      .select("midx", "src_labels", "tgt_labels").cache()
+      .select("midx", "src_labels", "tgt_labels").localCheckpoint(true)
 
     def side(labCol: String, oppCol: String, tag: String): DataFrame = {
       val partner = withLabels.select(col("midx").as("o_idx"), col(oppCol).as("o_labels"))
@@ -268,13 +369,8 @@ object corpus {
     }
     val drawn = side("src_labels", "tgt_labels", "s2t")
       .unionByName(side("tgt_labels", "src_labels", "t2s"))
-      .filter(col("sent1") =!= col("sent2"))
     val synBoth = crossSynonyms(idx, srcClasses, tgtClasses).select("sent1", "sent2")
-    val kept = drawn.join(synBoth, Seq("sent1", "sent2"), "left_anti").distinct()
-    kept.unionByName(kept.select(col("sent2").as("sent1"), col("sent1").as("sent2")))
-      .distinct()
-      .withColumn("label", lit(0))
-      .withColumn("kind", lit("co_soft_neg"))
+    (drawn, synBoth)
   }
 
   /**
@@ -290,10 +386,12 @@ object corpus {
   def assembleSplits(corpusLong: DataFrame, softNegRate: Double,
                      hardNegRate: Double, valRatio: Double, seed: Long): DataFrame = {
     val pairCols = Seq("sent1", "sent2", "label", "kind").map(col)
+    // localCheckpoint, not cache: see crossSoftDraws — checkpoint blocks are
+    // GC-released, cached plans pin storage memory for the session lifetime
     val syn = corpusLong.filter(col("label") === 1 && col("kind") =!= "id_syn")
-      .select(pairCols: _*).distinct().cache()
+      .select(pairCols: _*).distinct().localCheckpoint(true)
     val idSyn = corpusLong.filter(col("kind") === "id_syn")
-      .select(pairCols: _*).distinct().cache()
+      .select(pairCols: _*).distinct().localCheckpoint(true)
     val soft = corpusLong.filter(col("kind").isin("soft_neg", "co_soft_neg"))
       .select(pairCols: _*).distinct()
     val hard = corpusLong.filter(col("kind") === "hard_neg")

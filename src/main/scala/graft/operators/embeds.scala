@@ -72,8 +72,11 @@ object embeds {
                   tokenizer: Column => Column = text.wordTokensCol): DataFrame = {
     val srcLabels = srcLabels0.select(col("id").cast("string").as("id"), col("label"))
     val tgtLabels = tgtLabels0.select(col("id").cast("string").as("id"), col("label"))
-    val srcVecs = classEmbeddings(spark, srcLabels, dim).cache()
-    val tgtVecs = classEmbeddings(spark, tgtLabels, dim).cache()
+    // localCheckpoint, not cache: the class-vector tables are consumed by
+    // both directions then never again — cache() would pin them in the
+    // session CacheManager forever, checkpoint blocks release on GC
+    val srcVecs = classEmbeddings(spark, srcLabels, dim).localCheckpoint(true)
+    val tgtVecs = classEmbeddings(spark, tgtLabels, dim).localCheckpoint(true)
     val sizes = srcLabels.select(lit("s").as("side"), col("id"))
       .unionByName(tgtLabels.select(lit("t").as("side"), col("id")))
       .groupBy("side").agg(countDistinct("id").as("n"))

@@ -145,6 +145,29 @@ object evalmod {
   def bestByF1(report: DataFrame): DataFrame =
     report.orderBy(col("f1").desc, col("threshold").asc).limit(1)
 
+  /**
+   * Test-protocol assembly (eval_bertmap.py:94-151 test_maps): the ignored
+   * set for the final test evaluation is the predefined ignored mappings
+   * PLUS the val split (10%) — and, in the semi-supervised setting, the
+   * train split (20%) as well ("train + val (30%) should be ignored for
+   * semi-supervised setting; only val (10%) should be ignored for
+   * unsupervised setting"). One call assembles the union and evaluates
+   * `pre` against `ref` with it.
+   *
+   * @param refIgnored the predefined maps.ignored set (may be empty — the
+   *        reference inits an empty frame when no file is configured)
+   */
+  def testProtocol(pre: DataFrame, ref: DataFrame, refIgnored: DataFrame,
+                   trainMaps: DataFrame, valMaps: DataFrame,
+                   semiSupervised: Boolean): DataFrame = {
+    val keyCols = Seq("entity1", "entity2")
+    val k = (d: DataFrame) => d.select(keyCols.map(col): _*)
+    val ignored = (if (semiSupervised) k(refIgnored).unionByName(k(valMaps)).unionByName(k(trainMaps))
+                   else k(refIgnored).unionByName(k(valMaps))).distinct()
+    prfReport(pre, ref, ignored)
+      .withColumn("setting", lit(if (semiSupervised) "ss" else "us"))
+  }
+
   /** Best row per source — the reference's print_eval reports the best
     * string-match-baseline row and the best system row side by side
     * (onto_map.py:149-175: last 3 report rows are the string-match

@@ -24,11 +24,19 @@ object nes {
 
   /** One direction: IDF candidates from the token inverted index, label
     * pairs scored by the codegen'd Column kernel, max-pooled per class
-    * pair (nes_map.py:73-77 takes the max over label pairs), n-best. */
+    * pair (nes_map.py:73-77 takes the max over label pairs), n-best.
+    *
+    * The default kernel is the repo's blended lexical score (0.5·Jaccard +
+    * 0.5·NES — the same kernel as the classifier stand-in, so the two modes
+    * are directly comparable); `jaccardWeight = 0, editWeight = 1`
+    * reproduces the reference's PURE normalized-edit-similarity scoring
+    * (nes_map.py:73-77 max_norm_edit_sim) exactly. */
   def alignOneSide(fromLabels: DataFrame, toLabels: DataFrame, d: Long,
                    candidateLimit: Int = 25, nbest: Int = 1,
                    tokenizer: Column => Column = text.wordTokensCol,
-                   fixedPointIdf: Boolean = false): DataFrame = {
+                   fixedPointIdf: Boolean = false,
+                   jaccardWeight: Double = 0.5,
+                   editWeight: Double = 0.5): DataFrame = {
     val from = fromLabels.select(col("id").cast("string").as("id"), col("label"))
     val to = toLabels.select(col("id").cast("string").as("id"), col("label"))
     val qTokens = index.postingsFromText(from, "id", "label", 0, tokenizer)
@@ -42,7 +50,8 @@ object nes {
       .join(from.select(col("id").as("from_id"), col("label").as("l1")), "from_id")
       .join(to.select(col("id").as("to_id"), col("label").as("l2")), "to_id")
       .groupBy("from_id", "to_id")
-      .agg(max(score.pairScoreCol(col("l1"), col("l2"))).as("score"))
+      .agg(max(score.pairScoreCol(col("l1"), col("l2"),
+        jaccardWeight, editWeight)).as("score"))
     align.nBest(scored, nbest)
   }
 }

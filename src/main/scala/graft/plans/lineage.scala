@@ -1,8 +1,9 @@
 package graft.plans
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -15,6 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * fingerprints of its inputs) matches, otherwise it is recomputed and
  * rewritten atomically (write to tmp dir, rename).
  *
+ * All filesystem traffic goes through the Hadoop FileSystem API resolved
+ * from the path itself, so a workDir on hdfs:// or s3a:// behaves exactly
+ * like file:// — the spark-submit resume contract is cluster-real, not
+ * local-only. (Caveat shared with every Hadoop-FS job: rename is atomic on
+ * HDFS and local disk; object stores emulate it — there the manifest row
+ * count revalidation is the integrity backstop.)
+ *
  * On a real cluster the same layout works per-partition: each stage's
  * output is a partitioned Parquet/Iceberg table whose commit manifest
  * records input fingerprints; Spark's task-level retry handles intra-stage
@@ -24,24 +32,37 @@ object lineage {
 
   final case class Manifest(fingerprint: String, rows: Long)
 
-  private def manifestPath(dir: String) = Paths.get(dir, "_GRAFT_MANIFEST.json")
+  private def fsFor(dir: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(conf), p)
+  }
 
-  def readManifest(dir: String): Option[Manifest] = {
-    val p = manifestPath(dir)
-    if (!Files.exists(p)) None
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  def readManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val (fs, base) = fsFor(dir, hadoopConf(spark))
+    val p = new Path(base, "_GRAFT_MANIFEST.json")
+    if (!fs.exists(p)) None
     else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val in = fs.open(p)
+      val s = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      } finally in.close()
       val fp = "\"fingerprint\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
       val rows = "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
       for (f <- fp; r <- rows) yield Manifest(f, r)
     }
   }
 
-  def writeManifest(dir: String, m: Manifest): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.write(manifestPath(dir),
-      s"""{"fingerprint":"${m.fingerprint}","rows":${m.rows}}""".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val (fs, base) = fsFor(dir, hadoopConf(spark))
+    fs.mkdirs(base)
+    val out = fs.create(new Path(base, "_GRAFT_MANIFEST.json"), true)
+    try out.write(
+      s"""{"fingerprint":"${m.fingerprint}","rows":${m.rows}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def fingerprint(parts: String*): String = {
@@ -49,12 +70,6 @@ object lineage {
     parts.foreach(p => md.update(p.getBytes(StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
 
   /**
    * Run `build` for stage `name` unless a matching manifest already covers
@@ -72,9 +87,10 @@ object lineage {
             inputsFp: String)(build: => DataFrame): DataFrame = {
     val dir = s"$rootDir/$name"
     val fp = fingerprint(name, inputsFp)
-    val dataPath = Paths.get(dir, "data")
-    val reuse = readManifest(dir).filter(_.fingerprint == fp).flatMap { m =>
-      if (!Files.exists(dataPath)) None
+    val (fs, base) = fsFor(dir, hadoopConf(spark))
+    val dataPath = new Path(base, "data")
+    val reuse = readManifest(spark, dir).filter(_.fingerprint == fp).flatMap { m =>
+      if (!fs.exists(dataPath)) None
       else {
         val out = spark.read.parquet(s"$dir/data")
         // metadata-only count (parquet row-group stats) — cheap revalidation
@@ -83,13 +99,14 @@ object lineage {
     }
     reuse.getOrElse {
       val df = build
-      val tmp = Paths.get(dir, s"data.tmp")
-      deleteRecursively(tmp)
+      val tmp = new Path(base, "data.tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       df.write.mode("overwrite").parquet(tmp.toString)
-      deleteRecursively(dataPath)
-      Files.move(tmp, dataPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (fs.exists(dataPath)) fs.delete(dataPath, true)
+      if (!fs.rename(tmp, dataPath))
+        sys.error(s"lineage.stage: rename $tmp -> $dataPath failed")
       val out = spark.read.parquet(s"$dir/data")
-      writeManifest(dir, Manifest(fp, out.count()))
+      writeManifest(spark, dir, Manifest(fp, out.count()))
       out
     }
   }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.corpus
+import org.apache.spark.sql.functions._
 
 class CorpusSpec extends SparkSuite {
   import spark.implicits._
@@ -161,6 +162,78 @@ class CorpusSpec extends SparkSuite {
     assert(shallow.contains(("l c1", "l c2")))
     assert(!shallow.exists(p => p._1 == "l d1" || p._1 == "l d2"),
       "siblings under a depth-1 parent must be skipped at threshold 0")
+  }
+
+  test("softNonsynonymViolations: kept + violations = rate x labels; each violation fails the check (intra_onto.py:99-106)") {
+    // c2 shares label "aa" with c1 -> identical-label and synonym violations
+    // are reachable ( (bb,aa) draw hits c1's intra synonym set )
+    val cls = Seq(
+      ("c1", Seq("aa", "bb")),
+      ("c2", Seq("aa")),
+      ("c3", Seq("dd", "ee"))
+    ).toDF("class_iri", "labels")
+    val rate = 4
+    val kept = corpus.softNonsynonyms(cls, rate, seed = 11L)
+    val viol = corpus.softNonsynonymViolations(cls, rate, seed = 11L)
+    // total draws = rate per (class, label) occurrence = 4 * 5 labels
+    assert(kept.count() + viol.count() == rate * 5L)
+    // every violation is identical-label or an existing synonym pair
+    val syn = Set(("aa", "bb"), ("bb", "aa"), ("dd", "ee"), ("ee", "dd"))
+    viol.select("sent1", "sent2").as[(String, String)].collect().foreach { p =>
+      assert(p._1 == p._2 || syn.contains(p), s"non-violation $p in violations")
+    }
+    assert(viol.filter($"kind" =!= "soft_neg_violation").count() == 0)
+    // deterministic + partition-invariant
+    val again = corpus.softNonsynonymViolations(cls.repartition(7), rate, 11L)
+    assert(viol.count() == again.count())
+  }
+
+  test("hardNonsynonymViolations: sibling label collisions counted with multiplicity (intra_onto.py:143-147)") {
+    // siblings c1 {x,y} and c2 {x} under root: raw cross pairs are
+    // (x,x) [identical] and (y,x)/(x,y) [intra synonyms of c1] -> ALL
+    // sibling pairs are violations, kept set is empty
+    val cls = Seq(("c1", Seq("x", "y")), ("c2", Seq("x")))
+      .toDF("class_iri", "labels")
+    val ed = Seq(("c1", "root"), ("c2", "root")).toDF("child_iri", "parent_iri")
+    val kept = corpus.hardNonsynonyms(cls, ed)
+    val viol = corpus.hardNonsynonymViolations(cls, ed)
+    assert(kept.count() == 0)
+    // one sibling direction survives the c1<c2 distinct: {x,y} x {x} = 2 pairs
+    assert(viol.count() == 2)
+    val v = viol.select("sent1", "sent2").as[(String, String)].collect().toSet
+    assert(v == Set(("x", "x"), ("y", "x")) || v == Set(("x", "x"), ("x", "y")))
+  }
+
+  test("crossSoftNonsynonymViolations: draws failing the cross-synonym check, draw-count conservation (cross_onto.py:139-147)") {
+    // t-side label "sa" collides with s1's label -> identical-label
+    // violations are reachable; same-mapping synonym draws impossible by
+    // construction, but OTHER mappings' labels can equal a cross synonym
+    val maps = Seq(("s1", "t1"), ("s2", "t2"), ("s3", "t3")).toDF("entity1", "entity2")
+    val src = Seq(("s1", Seq("sa")), ("s2", Seq("sb")), ("s3", Seq("sc")))
+      .toDF("class_iri", "labels")
+    val tgt = Seq(("t1", Seq("ta")), ("t2", Seq("sa")), ("t3", Seq("tc")))
+      .toDF("class_iri", "labels")
+    val rate = 3
+    val viol = corpus.crossSoftNonsynonymViolations(maps, src, tgt, rate, seed = 5L)
+    // every violation is identical-label or a cross-synonym pair
+    val crossSyn = corpus.crossSynonyms(maps, src, tgt)
+      .select("sent1", "sent2").as[(String, String)].collect().toSet
+    viol.select("sent1", "sent2").as[(String, String)].collect().foreach { p =>
+      assert(p._1 == p._2 || crossSyn.contains(p), s"non-violation $p")
+    }
+    assert(viol.filter($"kind" =!= "co_soft_neg_violation").count() == 0)
+    // partition-invariant
+    val again = corpus.crossSoftNonsynonymViolations(
+      maps.repartition(5), src.repartition(3), tgt, rate, 5L)
+    assert(viol.count() == again.count())
+  }
+
+  test("requireDim: oversized dimension fails loudly instead of single-task sorting") {
+    val big = spark.range(corpus.maxDim + 1)
+      .select(concat(lit("c"), $"id").as("class_iri"), array(lit("l")).as("labels"))
+    val e = intercept[IllegalArgumentException](
+      corpus.softNonsynonyms(big, rate = 1, seed = 1L))
+    assert(e.getMessage.contains("maxDim"))
   }
 
   test("counters: per-kind counts") {

@@ -66,6 +66,27 @@ class EvalSpec extends SparkSuite {
     assert(best == 0.65)
   }
 
+  test("testProtocol: ss ignores train+val+predefined, us ignores val+predefined (eval_bertmap.py:94-151)") {
+    val train = Seq(("c", "y")).toDF("entity1", "entity2")
+    val vals = Seq(("d", "z")).toDF("entity1", "entity2")
+    val refIgn = Seq(("b", "x")).toDF("entity1", "entity2")
+    // us: ignored = {(b,x),(d,z)} -> preKept {(c,y),(e,w)}, refKept
+    // {(c,y),(q,r)}, TP {(c,y)} -> P = R = 1/2
+    val us = evalmod.testProtocol(pre, ref, refIgn, train, vals,
+      semiSupervised = false).head()
+    assert(us.getAs[Long]("n_mappings") == 2 && us.getAs[Long]("n_ignored") == 2)
+    assert(math.abs(us.getAs[Double]("p") - 0.5) < 1e-12)
+    assert(math.abs(us.getAs[Double]("r") - 0.5) < 1e-12)
+    assert(us.getAs[String]("setting") == "us")
+    // ss: ignored = {(b,x),(d,z),(c,y)} -> preKept {(e,w)}, refKept
+    // {(q,r)}, TP 0 -> P = R = F1 = 0
+    val ss = evalmod.testProtocol(pre, ref, refIgn, train, vals,
+      semiSupervised = true).head()
+    assert(ss.getAs[Long]("n_mappings") == 1 && ss.getAs[Long]("n_ignored") == 3)
+    assert(ss.getAs[Double]("p") == 0.0 && ss.getAs[Double]("f1") == 0.0)
+    assert(ss.getAs[String]("setting") == "ss")
+  }
+
   test("bestByF1PerSource: system vs string-match baselines selected separately (onto_map.py:149-175)") {
     // the reference's eval CSV: system rows + 3 trailing string-match rows;
     // print_eval takes idxmax(F1) over each slice independently

@@ -134,6 +134,32 @@ class ScoreAlignSpec extends SparkSuite {
     assert(out("s2")._1 == "t2" && out("s2")._2 > 0.0 && out("s2")._2 < 1.0)
   }
 
+  test("nes.alignOneSide pure-NES fidelity: jaccardWeight=0 reproduces max_norm_edit_sim exactly (nes_map.py:73-77)") {
+    import graft.operators.nes
+    // token-permuted labels: Jaccard 1.0 but NES low — the pair that
+    // separates the blended kernel from the reference's pure edit score
+    val from = Seq(("s1", "beta alpha"), ("s2", "kidney stone"))
+      .toDF("id", "label")
+    val to = Seq(("t1", "alpha beta"), ("t2", "kidney stones"))
+      .toDF("id", "label")
+    def nesOf(a0: String, b0: String): Double = {
+      val (a, b) = (graft.functions.text.normalize(a0), graft.functions.text.normalize(b0))
+      1.0 - graft.functions.text.levenshtein(a, b).toDouble / math.max(a.length, b.length)
+    }
+    val pure = nes.alignOneSide(from, to, d = 2, candidateLimit = 5, nbest = 1,
+        jaccardWeight = 0.0, editWeight = 1.0)
+      .select("from_id", "to_id", "score").as[(String, String, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "beta alpha" vs "alpha beta": lev = 8 over len 10 -> NES 0.2, NOT the
+    // blended 0.6 (= 0.5*1.0 + 0.5*0.2)
+    assert(pure("s1")._1 == "t1")
+    assert(math.abs(pure("s1")._2 - nesOf("beta alpha", "alpha beta")) < 1e-12)
+    assert(math.abs(pure("s2")._2 - nesOf("kidney stone", "kidney stones")) < 1e-12)
+    val blended = nes.alignOneSide(from, to, d = 2, candidateLimit = 5, nbest = 1)
+      .select("from_id", "score").as[(String, Double)].collect().toMap
+    assert(blended("s1") > pure("s1")._2, "blended kernel must add the Jaccard term")
+  }
+
   test("embedSentences: deterministic, L2-normalized, cosine-ready") {
     val df = Seq((1L, "heart failure"), (2L, "heart failure"), (3L, "kidney stone"))
       .toDF("id", "txt")

@@ -197,11 +197,11 @@ class SourcesStreamingSpec extends SparkSuite {
   test("Main: staged run resumes from manifests (second run reuses stages)") {
     val work = Files.createTempDirectory("graft-main").toString
     graft.plans.Main.main(Array("fixture:40", "fixture", work))
-    val m1 = graft.plans.lineage.readManifest(s"$work/triples")
+    val m1 = graft.plans.lineage.readManifest(spark, s"$work/triples")
     assert(m1.isDefined && m1.get.rows > 0)
     // second run must hit the manifests (same fingerprint, same rows)
     graft.plans.Main.main(Array("fixture:40", "fixture", work))
-    val m2 = graft.plans.lineage.readManifest(s"$work/triples")
+    val m2 = graft.plans.lineage.readManifest(spark, s"$work/triples")
     assert(m2.get.fingerprint == m1.get.fingerprint && m2.get.rows == m1.get.rows)
     assert(spark.read.parquet(s"$work/graph").count() == m1.get.rows)
   }
