@@ -455,6 +455,29 @@ object SparkEntry {
 
     "q40_pipeline_e2e" -> ((s, dir) => Pipeline.flagship(s)),
 
+    // --- flagship GOLDEN gate: the whole-program mapping quality as one
+    // machine-checkable row. Runs the full alignment on the deterministic
+    // tiny fixture, evaluates vs the fixture's by-construction reference
+    // with the reference's own protocol (best-F1 threshold over the sweep,
+    // ignored set excluded both sides — eval_bertmap.py:180-248), and emits
+    // the selected row. The pipeline is partition-invariant by design
+    // (DeterminismSpec), so these six numbers are constants of the code —
+    // the oracle pins them as a constant SELECT ---------------------------
+    "q40g_golden_prf" -> ((s, dir) => {
+      val cfg = graft.sources.fixtures.tiny
+      val refs = graft.sources.fixtures.refMappings(s, cfg)
+      val (mappings, _) = Pipeline.run(s,
+        graft.sources.fixtures.transcripts(s, cfg),
+        graft.sources.fixtures.classes(s, cfg),
+        graft.sources.fixtures.edges(s, cfg))
+      val ref = refs.filter(!col("is_ignored")).select("entity1", "entity2", "value")
+      val ign = refs.filter(col("is_ignored")).select("entity1", "entity2", "value")
+      val sweep = evalmod.thresholdSweep(s, mappings, ref, ign)
+      evalmod.bestByF1(sweep).select(
+        round(col("threshold"), 6).as("threshold"),
+        col("n_mappings"), col("n_ignored"), col("p"), col("r"), col("f1"))
+    }),
+
     // --- sub-word inverted index (onto_index.py:46-47 WordPiece postings) ---
     "q48_subword_postings" -> ((s, dir) =>
       index.postingsFromText(t(s, dir, "documents").filter(col("doc_id") < 100),
@@ -1064,6 +1087,20 @@ object SparkEntry {
            |${hop(3, "fr2", "seen2")}
            |SELECT entity1, entity2, round(value, 6) AS value FROM (
            |  SELECT * FROM kept1 UNION ALL SELECT * FROM kept2 UNION ALL SELECT * FROM kept3)""".stripMargin
+      },
+
+      "q40g_golden_prf" -> {
+        // whole-program golden gate: the flagship's best-F1 evaluation row
+        // vs the fixture's by-construction reference alignments. The
+        // pipeline is partition-invariant (DeterminismSpec) and the fixture
+        // is a pure function of seed 42, so the row is a CONSTANT of the
+        // code — the oracle pins it. Any regression anywhere in the chain
+        // (detect, stabilize, candidates, scoring, n-best, extension,
+        // repair) moves at least one of these six numbers.
+        """SELECT CAST(0.0 AS DOUBLE) AS threshold,
+          |  CAST(91 AS BIGINT) AS n_mappings, CAST(9 AS BIGINT) AS n_ignored,
+          |  CAST(1.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS r,
+          |  CAST(1.0 AS DOUBLE) AS f1""".stripMargin
       },
 
       "q50_nes_align" -> {

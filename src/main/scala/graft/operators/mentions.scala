@@ -126,12 +126,19 @@ object mentions {
         col("surface").asc)
     val wOrd = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc)
+    val keyCols = Seq("conv_id", "turn_idx", "onto", "class_iri", "surface")
+    require(keyCols.forall(mens.columns.contains),
+      s"stabilize needs columns $keyCols, got ${mens.columns.toSeq}")
     val firstOfGroup =
       lag(col("turn_idx"), 1).over(wAll).isNull ||
         lag(col("turn_idx"), 1).over(wAll) =!= col("turn_idx") ||
         lag(col("onto"), 1).over(wAll) =!= col("onto") ||
         lag(col("class_iri"), 1).over(wAll) =!= col("class_iri")
-    mens.select("conv_id", "turn_idx", "onto", "class_iri", "surface")
+    // NO projection: extra columns (e.g. event-time `ts` on timestamped
+    // mention frames) ride along on the surviving first-of-group row,
+    // which is well-defined — exactly one row per (turn, onto, class)
+    // group passes the lag filter
+    mens
       .withColumn("_first", firstOfGroup)
       .filter(col("_first")).drop("_first")
       .withColumn("mention_ord", row_number().over(wOrd))
