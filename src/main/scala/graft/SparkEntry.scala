@@ -196,6 +196,45 @@ object SparkEntry {
       drawn.filter(col("p_brand") =!= col("o_brand")).select("sent1", "sent2")
     }),
 
+    // --- ss/us eval test protocol (eval_bertmap.py:94-151): the ignored
+    // set for the final test eval is predefined ∪ val (us) or predefined ∪
+    // val ∪ train (ss) — both settings evaluated through the one-call
+    // operator over a synthetic mapping universe ---------------------------
+    "q52_test_protocol" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 350)
+        .select(concat(lit("c"), col("c_custkey")).as("entity1"),
+          concat(lit("n"), col("c_nationkey")).as("entity2"),
+          col("c_custkey").as("k"))
+      val ref = c.select("entity1", "entity2")
+      // predictions: true pairs for custkey <= 300, with every 3rd key
+      // perturbed to a wrong nation (synthetic FPs)
+      val pre = t(s, dir, "customer").filter(col("c_custkey") <= 300)
+        .select(concat(lit("c"), col("c_custkey")).as("entity1"),
+          concat(lit("n"), col("c_nationkey") +
+            when(pmod(col("c_custkey"), lit(3)) === 0, 1).otherwise(0)).as("entity2"))
+      val train = c.filter(pmod(col("k"), lit(10)) < 2).select("entity1", "entity2")
+      val vals = c.filter(pmod(col("k"), lit(10)) === 2).select("entity1", "entity2")
+      val ign = c.filter(pmod(col("k"), lit(50)) === 0).select("entity1", "entity2")
+      evalmod.testProtocol(pre, ref, ign, train, vals, semiSupervised = true)
+        .unionByName(evalmod.testProtocol(pre, ref, ign, train, vals, semiSupervised = false))
+        .select(col("setting"), col("n_mappings"), col("n_ignored"),
+          col("n_ref"), col("tp"), round(col("p"), 6).as("p"),
+          round(col("r"), 6).as("r"), round(col("f1"), 6).as("f1"))
+    }),
+
+    // --- corpus violation counters (intra_onto.py:99-106 removed_violations):
+    // the REJECTED side of the soft-negative sampler — identical-label draws
+    // and existing-synonym draws, multiplicity preserved. classes = brands,
+    // labels = the brand's part TYPES (types repeat across brands, so both
+    // violation kinds are reachable) --------------------------------------
+    "q53_softneg_violations" -> ((s, dir) => {
+      val classes = t(s, dir, "part").filter(col("p_partkey") <= 500)
+        .groupBy(col("p_brand").as("class_iri"))
+        .agg(sort_array(collect_set(col("p_type"))).as("labels"))
+      corpus.softNonsynonymViolations(classes, rate = 2, seed = 7L)
+        .groupBy("sent1", "sent2", "kind").agg(count(lit(1)).as("n"))
+    }),
+
     "q45_corpus_merge" -> ((s, dir) => {
       // base + add corpora over part labels; merge re-validates the ADD
       // negatives against the MERGED synonym set (merged_onto.py:57-94)
@@ -478,6 +517,35 @@ object SparkEntry {
         col("n_mappings"), col("n_ignored"), col("p"), col("r"), col("f1"))
     }),
 
+    // --- mention detect + stabilize, DuckDB-oracled: the join-based detect
+    // kernel (greedy longest-match over word n-grams — same semantics as
+    // the broadcast trie, pinned equal by MentionsSpec) over the documents
+    // table as synthetic turns, with a hand dictionary that exercises
+    // longest-match consumption, multi-label classes and shared surfaces.
+    // The oracle replicates the greedy walk as a recursive CTE ------------
+    "q51_detect_greedy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 200 && col("lang") === "en")
+      val turns = docs.select(
+          concat(lit("d"), (col("doc_id") / 4).cast("long").cast("string")).as("conv_id"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("turn_idx"),
+          lit("user").as("role"), col("text"),
+          lit(null).cast("string").as("tool"),
+          lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("ts"))
+        .as[graft.model.Turn]
+      val dict = Seq(
+        graft.model.ClassText("src", "src:T1", 0L, Seq("fast table")),
+        graft.model.ClassText("src", "src:T2", 1L, Seq("table")),
+        graft.model.ClassText("src", "src:T3", 2L, Seq("scan")),
+        graft.model.ClassText("src", "src:T4", 3L, Seq("window table")),
+        graft.model.ClassText("src", "src:T5", 4L, Seq("agg", "agg row")),
+        graft.model.ClassText("src", "src:T6", 5L, Seq("scan")),
+        graft.model.ClassText("src", "src:T7", 6L, Seq("slow fast"))
+      ).toDS()
+      mentions.stabilize(mentions.detectJoin(s, turns, dict).toDF())
+    }),
+
     // --- sub-word inverted index (onto_index.py:46-47 WordPiece postings) ---
     "q48_subword_postings" -> ((s, dir) =>
       index.postingsFromText(t(s, dir, "documents").filter(col("doc_id") < 100),
@@ -717,6 +785,85 @@ object SparkEntry {
           |addkept AS (SELECT * FROM addneg2 ANTI JOIN synboth USING (sent1, sent2)),
           |negs AS (SELECT DISTINCT * FROM (SELECT * FROM baseneg UNION ALL SELECT * FROM addkept))
           |SELECT * FROM synmerged UNION ALL SELECT * FROM negs""".stripMargin,
+
+      "q52_test_protocol" -> {
+        // prfReport arithmetic per setting: identity-dropped distinct pre,
+        // anti-join the setting's ignored union from both sides, count
+        // tp/n/n_ref; f1 from the UNROUNDED p/r, all three rounded last
+        def settingRows(tag: String, ignCte: String) =
+          s"""pk_$tag AS (SELECT * FROM pd ANTI JOIN $ignCte USING (entity1, entity2)),
+             |rk_$tag AS (SELECT * FROM rd ANTI JOIN $ignCte USING (entity1, entity2)),
+             |tp_$tag AS (SELECT * FROM pk_$tag SEMI JOIN rk_$tag USING (entity1, entity2)),
+             |pi_$tag AS (SELECT * FROM pd SEMI JOIN $ignCte USING (entity1, entity2)),
+             |row_$tag AS (SELECT '$tag' AS setting,
+             |  (SELECT count(*) FROM pk_$tag)::BIGINT AS n_mappings,
+             |  (SELECT count(*) FROM pi_$tag)::BIGINT AS n_ignored,
+             |  (SELECT count(*) FROM rk_$tag)::BIGINT AS n_ref,
+             |  (SELECT count(*) FROM tp_$tag)::BIGINT AS tp)""".stripMargin
+        s"""WITH ref AS (
+           |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS entity1,
+           |         'n' || CAST(c_nationkey AS VARCHAR) AS entity2, c_custkey AS k
+           |  FROM customer WHERE c_custkey <= 350),
+           |pre AS (
+           |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS entity1,
+           |         'n' || CAST(c_nationkey + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR) AS entity2
+           |  FROM customer WHERE c_custkey <= 300),
+           |trainm AS (SELECT entity1, entity2 FROM ref WHERE k % 10 < 2),
+           |valm AS (SELECT entity1, entity2 FROM ref WHERE k % 10 = 2),
+           |refign AS (SELECT entity1, entity2 FROM ref WHERE k % 50 = 0),
+           |ign_ss AS (SELECT DISTINCT * FROM (SELECT * FROM refign UNION ALL
+           |           SELECT * FROM valm UNION ALL SELECT * FROM trainm)),
+           |ign_us AS (SELECT DISTINCT * FROM (SELECT * FROM refign UNION ALL SELECT * FROM valm)),
+           |pd AS (SELECT DISTINCT entity1, entity2 FROM pre WHERE entity1 <> entity2),
+           |rd AS (SELECT DISTINCT entity1, entity2 FROM ref),
+           |${settingRows("ss", "ign_ss")},
+           |${settingRows("us", "ign_us")},
+           |calc AS (
+           |  SELECT *, CASE WHEN n_mappings = 0 OR n_ref = 0 THEN -1.0
+           |                 ELSE tp / CAST(n_mappings AS DOUBLE) END AS praw,
+           |            CASE WHEN n_mappings = 0 OR n_ref = 0 THEN -1.0
+           |                 ELSE tp / CAST(n_ref AS DOUBLE) END AS rraw
+           |  FROM (SELECT * FROM row_ss UNION ALL SELECT * FROM row_us))
+           |SELECT setting, n_mappings, n_ignored, n_ref, tp,
+           |  round(praw, 6) AS p, round(rraw, 6) AS r,
+           |  round(CASE WHEN praw < 0 THEN -1.0 WHEN praw + rraw = 0 THEN 0.0
+           |             ELSE 2 * praw * rraw / (praw + rraw) END, 6) AS f1
+           |FROM calc""".stripMargin
+      },
+
+      "q53_softneg_violations" -> {
+        // the operator's md5+LCG draws replicated bit-exactly (same twin as
+        // q46), complement side: identical-label draws plus draws hitting
+        // the intra-synonym set either direction, counted with multiplicity
+        s"""WITH cls AS (
+           |  SELECT p_brand AS class_iri, list_sort(list(DISTINCT p_type)) AS labels
+           |  FROM part WHERE p_partkey <= 500 GROUP BY 1),
+           |idx AS (SELECT class_iri, labels,
+           |        ROW_NUMBER() OVER (ORDER BY class_iri) - 1 AS idx FROM cls),
+           |dc AS (SELECT count(*) AS d FROM idx),
+           |u AS (SELECT a.idx, a.sent1, dr.draw
+           |      FROM (SELECT idx, unnest(labels) AS sent1 FROM idx) a,
+           |           (SELECT unnest([0, 1]) AS draw) dr),
+           |drawn AS (
+           |  SELECT u.idx, u.sent1, u.draw,
+           |    (u.idx + 1 + (${keyedSql(7, Seq("u.idx", "u.sent1", "u.draw"))} % ((SELECT d FROM dc) - 1)))
+           |      % (SELECT d FROM dc) AS o_idx
+           |  FROM u),
+           |paired AS (
+           |  SELECT dr.sent1,
+           |    o.labels[CAST(${keyedSql(8, Seq("dr.idx", "dr.sent1", "dr.draw"))} % len(o.labels) AS INT) + 1] AS sent2
+           |  FROM drawn dr JOIN idx o ON o.idx = dr.o_idx),
+           |lab AS (SELECT class_iri, unnest(labels) AS l FROM idx),
+           |synboth AS (SELECT DISTINCT a.l AS sent1, b.l AS sent2
+           |            FROM lab a JOIN lab b ON a.class_iri = b.class_iri AND a.l <> b.l),
+           |ne AS (SELECT * FROM paired WHERE sent1 <> sent2),
+           |vio2 AS (SELECT sent1, sent2 FROM ne SEMI JOIN synboth USING (sent1, sent2)),
+           |vio AS (SELECT sent1, sent2 FROM paired WHERE sent1 = sent2
+           |        UNION ALL SELECT * FROM vio2)
+           |SELECT sent1, sent2, 'soft_neg_violation' AS kind,
+           |       count(*)::BIGINT AS n
+           |FROM vio GROUP BY 1, 2, 3""".stripMargin
+      },
 
       "q46_cross_softneg" -> {
         def sideSql(labCol: String, oppCol: String, tag: String) =
@@ -1101,6 +1248,63 @@ object SparkEntry {
           |  CAST(91 AS BIGINT) AS n_mappings, CAST(9 AS BIGINT) AS n_ignored,
           |  CAST(1.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS r,
           |  CAST(1.0 AS DOUBLE) AS f1""".stripMargin
+      },
+
+      "q51_detect_greedy" -> {
+        // the trie/join detect kernel's greedy longest-match walk as a
+        // recursive CTE: per turn, advance pos by the longest match length
+        // (or 1), emit all dictionary entries of the longest match at each
+        // accepted position; then stabilize = min(surface) per (turn,
+        // entity) + the per-conversation ordinal window
+        """WITH RECURSIVE docs AS (
+          |  SELECT doc_id, 'd' || CAST(doc_id // 4 AS VARCHAR) AS conv_id,
+          |         CAST(doc_id % 4 AS INT) AS turn_idx, text
+          |  FROM documents WHERE doc_id < 200 AND lang = 'en'),
+          |toks AS (
+          |  SELECT conv_id, turn_idx,
+          |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+          |  FROM docs),
+          |dict(k, klen, onto, class_iri, surface) AS (VALUES
+          |  ('fast table', 2, 'src', 'src:T1', 'fast table'),
+          |  ('table', 1, 'src', 'src:T2', 'table'),
+          |  ('scan', 1, 'src', 'src:T3', 'scan'),
+          |  ('window table', 2, 'src', 'src:T4', 'window table'),
+          |  ('agg', 1, 'src', 'src:T5', 'agg'),
+          |  ('agg row', 2, 'src', 'src:T5', 'agg row'),
+          |  ('scan', 1, 'src', 'src:T6', 'scan'),
+          |  ('slow fast', 2, 'src', 'src:T7', 'slow fast')),
+          |positions AS (
+          |  SELECT conv_id, turn_idx, unnest(generate_series(1, len(tk))) AS sp, tk
+          |  FROM toks),
+          |hits AS (
+          |  SELECT p.conv_id, p.turn_idx, p.sp, d.klen, d.onto, d.class_iri, d.surface
+          |  FROM positions p JOIN dict d
+          |    ON p.sp + d.klen - 1 <= len(p.tk)
+          |   AND array_to_string(p.tk[p.sp : p.sp + d.klen - 1], ' ') = d.k),
+          |best AS (
+          |  SELECT conv_id, turn_idx, sp, MAX(klen) AS blen
+          |  FROM hits GROUP BY 1, 2, 3),
+          |walk AS (
+          |  SELECT conv_id, turn_idx, 1 AS pos, len(tk) AS n FROM toks
+          |  UNION ALL
+          |  SELECT w.conv_id, w.turn_idx, w.pos + COALESCE(b.blen, 1) AS pos, w.n
+          |  FROM walk w
+          |  LEFT JOIN best b ON b.conv_id = w.conv_id AND b.turn_idx = w.turn_idx
+          |                  AND b.sp = w.pos
+          |  WHERE w.pos <= w.n),
+          |sel AS (
+          |  SELECT DISTINCT h.conv_id, h.turn_idx, h.onto, h.class_iri, h.surface
+          |  FROM walk w
+          |  JOIN best b ON b.conv_id = w.conv_id AND b.turn_idx = w.turn_idx AND b.sp = w.pos
+          |  JOIN hits h ON h.conv_id = w.conv_id AND h.turn_idx = w.turn_idx
+          |             AND h.sp = w.pos AND h.klen = b.blen),
+          |stab AS (
+          |  SELECT conv_id, turn_idx, onto, class_iri, MIN(surface) AS surface
+          |  FROM sel GROUP BY 1, 2, 3, 4)
+          |SELECT conv_id, turn_idx, onto, class_iri, surface,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+          |       ORDER BY turn_idx, onto, class_iri) AS INT) AS mention_ord
+          |FROM stab""".stripMargin
       },
 
       "q50_nes_align" -> {

@@ -76,9 +76,13 @@ object mentions {
     out.toArray
   }
 
-  /** Detect mentions: longest-match-first trie walk over the token stream. */
+  /** Detect mentions: longest-match-first trie walk over the token stream.
+    * Per-turn dedup via a hash set (lazily allocated — most turns emit 0-1
+    * matches and never pay for it), not List.contains: a pathological turn
+    * matching m entities would make the scan O(m²). */
   def detectInTrie(root: TrieNode, toks: Array[String]): List[(String, String, String)] = {
     var out: List[(String, String, String)] = Nil
+    var seen: java.util.HashSet[(String, String, String)] = null
     var i = 0
     while (i < toks.length) {
       var node = root
@@ -95,7 +99,8 @@ object mentions {
         }
       }
       if (bestEnd >= 0) {
-        bestMatches.foreach(m => if (!out.contains(m)) out = m :: out)
+        if (seen == null) seen = new java.util.HashSet[(String, String, String)](8)
+        bestMatches.foreach(m => if (seen.add(m)) out = m :: out)
         i = bestEnd + 1
       } else i += 1
     }
@@ -148,6 +153,90 @@ object mentions {
   def detectInText(dict: Map[String, Seq[(String, String)]], maxWords: Int,
                    txt: String): Seq[(String, String, String)] =
     detectInTrie(buildTrie(dict), fastTokens(txt))
+
+  /** Distributed surface dictionary: (key, onto, class_iri, surface) where
+    * `key` is the token-joined normal form the n-gram join matches on —
+    * the same canonicalization the trie applies (normalize → wordTokens),
+    * so a surface like "Heart_Failure" and the turn text "heart failure"
+    * meet on the identical key in both kernels. */
+  def surfaceDictDf(classes: Dataset[ClassText]): org.apache.spark.sql.DataFrame =
+    classes.toDF()
+      .select(col("onto"), col("class_iri"),
+        explode(text.normalizeLabelsCol(col("labels"))).as("surface"))
+      .withColumn("key", array_join(text.wordTokensCol(col("surface")), " "))
+      .filter(length(col("key")) > 0)
+      .select("key", "onto", "class_iri", "surface")
+      .distinct()
+
+  /** Join-based mention detect — the NO-COLLECT fallback for catalogs past
+    * `maxDictEntities` (a 10^8-surface dictionary cannot be collected to
+    * the driver and broadcast as a trie). Same output contract and greedy
+    * longest-match semantics as `detect`:
+    *
+    *   1. each turn explodes to word n-grams (n = 1..maxWords) keyed by
+    *      start position — transcript-proportional but shuffle-free until
+    *      the dictionary join;
+    *   2. n-grams join the distributed dictionary on the canonical key
+    *      (Spark picks broadcast vs shuffle join from the dict's size
+    *      statistics — exactly the degradation path wanted: small dict ⇒
+    *      broadcast ≈ trie economics, huge dict ⇒ shuffle join still works);
+    *   3. per-turn greedy resolution (leftmost position, longest match,
+    *      jump past it) runs in a flatMapGroups over the turn's matched
+    *      spans — per-turn state only, so it distributes like any other
+    *      per-row kernel.
+    *
+    * MentionsSpec pins detectJoin ≡ detect on the fixture. */
+  def detectJoin(spark: SparkSession, turns: Dataset[Turn],
+                 classes: Dataset[ClassText], maxWords: Int = 4): Dataset[Mention] = {
+    import spark.implicits._
+    val dict = surfaceDictDf(classes)
+    val toks = turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .withColumn("toks", text.wordTokensCol(col("text")))
+      // guard BEFORE the position explode: Spark's sequence(1, 0) yields a
+      // DESCENDING [1, 0] (not empty), and slice(_, 0, _) throws — an
+      // empty/whitespace-only turn would crash the job
+      .filter(size(col("toks")) > 0)
+    // n-gram generation: explode start positions, then one row per length;
+    // slice+array_join builds the candidate key codegen-side
+    val grams = toks
+      .select(col("conv_id"), col("turn_idx"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")))).as("start"))
+      .select(col("conv_id"), col("turn_idx"), col("toks"), col("start"),
+        explode(sequence(lit(1),
+          least(lit(maxWords), size(col("toks")) - col("start") + 1))).as("len"))
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("len"),
+        array_join(slice(col("toks"), col("start"), col("len")), " ").as("key"))
+    val hits = grams.join(dict, "key")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("len"),
+        col("onto"), col("class_iri"), col("surface"))
+      .as[(String, Int, Int, Int, String, String, String)]
+    // greedy longest-match resolution per turn — identical to the trie
+    // walk: ascending start, longest span wins, scan resumes past it
+    hits.groupByKey(h => (h._1, h._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Int, String, String, String)]) =>
+        val (convId, turnIdx) = key
+        val spans = it.toArray
+        val byStart = spans.groupBy(_._3)
+        var out = List.empty[Mention]
+        val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
+        var i = 1
+        val maxStart = if (spans.isEmpty) 0 else spans.map(_._3).max
+        while (i <= maxStart) {
+          byStart.get(i) match {
+            case Some(ms) =>
+              val bestLen = ms.map(_._4).max
+              ms.filter(_._4 == bestLen).sortBy(m => (m._5, m._6, m._7)).foreach { m =>
+                val k = (m._5, m._6, m._7)
+                if (!seen.contains(k)) { seen += k; out ::= Mention(convId, turnIdx, m._5, m._6, m._7) }
+              }
+              i += bestLen
+            case None => i += 1
+          }
+        }
+        out.reverse
+      }
+  }
 
   /** Transcripts → mentions. Batched mapPartitions with the BUILT trie
     * broadcast once from the driver — executors deserialize it per JVM

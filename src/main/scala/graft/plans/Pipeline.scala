@@ -47,6 +47,12 @@ object Pipeline {
                                     // (onto_index.py:46-47) — matches the
                                     // reference's candidate recall for
                                     // morphologically-related labels
+      linker: String = "auto",      // trie | join | auto — mention-detect
+                                    // kernel: collected broadcast trie
+                                    // (fast, bounded by maxDictEntities) vs
+                                    // distributed n-gram dictionary join
+                                    // (no driver collect, any catalog
+                                    // size); auto routes on the count
       maxDfFrac: Double = 1.0,
       saltBuckets: Int = 1,
       scorer: score.ScorerParams = score.ScorerParams())
@@ -185,12 +191,17 @@ object Pipeline {
     // these are two independent stage DAGs the scheduler runs side by side.
     val mensF = Future {
       val dictDs = classes.filter(col("onto") === "src")
-      val nDict = dictDs.count()
-      require(nDict <= p.maxDictEntities,
-        s"catalog has $nDict entities > maxDictEntities=${p.maxDictEntities}: " +
-          "the driver-side collect + broadcast-trie path would OOM the driver; " +
-          "use the distributed join-based surface linker (operators.link) instead")
-      val dict = dictDs.collect().toSeq
+      require(Seq("auto", "trie", "join").contains(p.linker),
+        s"linker must be auto|trie|join, got ${p.linker}")
+      val useJoin = p.linker == "join" ||
+        (p.linker == "auto" && dictDs.count() > p.maxDictEntities)
+      if (p.linker == "trie") {
+        val nDict = dictDs.count()
+        require(nDict <= p.maxDictEntities,
+          s"catalog has $nDict entities > maxDictEntities=${p.maxDictEntities}: " +
+            "the driver-side collect + broadcast-trie path would OOM the " +
+            "driver; use linker=join (distributed n-gram dictionary join)")
+      }
       // stabilize = the per-conversation ordering window over
       // (conv_id, turn_idx) from the BASELINE invariant. Deliberately LAZY:
       // the mention stream has exactly ONE downstream consumer (the triples
@@ -199,7 +210,10 @@ object Pipeline {
       // drove executor GC to >60% of run time (measured via stage metrics:
       // 115 GC-s of 185 run-s on the count stage) — the single final action
       // computes the fused scan→detect→stabilize DAG exactly once instead.
-      val m = mentions.stabilize(mentions.detect(spark, turns, dict).toDF())
+      val detected =
+        if (useJoin) mentions.detectJoin(spark, turns, dictDs)
+        else mentions.detect(spark, turns, dictDs.collect().toSeq)
+      val m = mentions.stabilize(detected.toDF())
       mark("mentions planned")
       m
     }

@@ -45,6 +45,29 @@ class MentionsSpec extends SparkSuite {
     assert(n > 0)
   }
 
+  test("detectJoin: distributed n-gram join kernel produces the same mention set as the trie") {
+    val cfg = fixtures.tiny
+    val turns = fixtures.transcripts(spark, cfg)
+    val clsDs = fixtures.classes(spark, cfg).filter(_.onto == "src")
+    val trie = mentions.detect(spark, turns, clsDs.collect().toSeq)
+      .collect().toSet
+    val joined = mentions.detectJoin(spark, turns, clsDs).collect().toSet
+    assert(trie.nonEmpty)
+    assert(joined == trie,
+      s"join kernel diverged: only-trie=${(trie -- joined).take(5)} " +
+        s"only-join=${(joined -- trie).take(5)}")
+  }
+
+  test("detectJoin: greedy longest-match semantics (consumed spans skipped)") {
+    val turns = Seq(
+      Turn("c1", 0, "user", "patient has Heart Failure and heart issues", null, new Timestamp(0L)))
+      .toDS()
+    val out = mentions.detectJoin(spark, turns, classes.toDS()).collect().toSet
+    assert(out.contains(Mention("c1", 0, "src", "src:C1", "heart failure")))
+    assert(out.contains(Mention("c1", 0, "src", "src:C2", "heart"))) // 2nd heart
+    assert(!out.exists(_.class_iri == "src:C3")) // 'failure' consumed
+  }
+
   test("stabilize: two distinct surfaces for one (turn, entity) collapse to min(surface) deterministically") {
     val mens = Seq(
       // same (conv, turn, onto, entity) matched via two different surfaces

@@ -69,6 +69,24 @@ class PipelineE2ESpec extends SparkSuite {
       Pipeline.rawMappings(spark, src, tgt, Pipeline.Params(mode = "bogus")))
   }
 
+  test("linker=join fallback: identical triples to the broadcast-trie kernel") {
+    // the graceful-degradation path for catalogs past maxDictEntities: the
+    // distributed n-gram dictionary join must be a drop-in replacement
+    def trips(p: Pipeline.Params) = {
+      val (_, t) = Pipeline.run(spark, turns, classes, edges, p)
+      t.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    }
+    val viaTrie = trips(Pipeline.Params(linker = "trie"))
+    val viaJoin = trips(Pipeline.Params(linker = "join"))
+    assert(viaJoin == viaTrie)
+    // auto routes to join when the dict-size guard trips, instead of failing
+    val viaAuto = trips(Pipeline.Params(linker = "auto", maxDictEntities = 1L))
+    assert(viaAuto == viaTrie)
+    // explicit trie with an oversized catalog still fails loudly
+    intercept[IllegalArgumentException](
+      trips(Pipeline.Params(linker = "trie", maxDictEntities = 1L)))
+  }
+
   test("run consumes precomputed mappings: alignment chain executes zero times on resume") {
     // hand the run a crafted mapping set that natural alignment would never
     // produce alone; if the chain re-ran, sameAs would contain its full
