@@ -968,17 +968,21 @@ object SparkEntry {
         s"""WITH $shingleCte,
            |mh AS (SELECT id, s.seed, min(md5(shingle || '#' || s.seed)) AS mh
            |       FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s GROUP BY id, s.seed),
-           |bands AS (SELECT id, CAST(seed // 2 AS INT) AS band, string_agg(mh, ',' ORDER BY seed) AS band_sig
-           |          FROM mh GROUP BY id, CAST(seed // 2 AS INT))
+           |bands0 AS (SELECT id, CAST(seed // 2 AS INT) AS band, string_agg(mh, ',' ORDER BY seed) AS band_sig
+           |           FROM mh GROUP BY id, CAST(seed // 2 AS INT)),
+           |bands AS (SELECT id, band,
+           |  ('0x' || substring(md5(band_sig), 1, 15))::BIGINT AS band_sig FROM bands0)
            |SELECT DISTINCT a.id AS id1, b.id AS id2
            |FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id""".stripMargin,
 
       "q23_ngram_jaccard" ->
         s"""WITH $shingleCte,
-           |sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
-           |rare AS (SELECT sh.id, sh.shingle FROM sh
-           |  JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) d
-           |  ON sh.shingle = d.shingle AND d.df <= 500 AND d.df >= 2),
+           |shk AS (SELECT id,
+           |  ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS shingle FROM sh),
+           |sizes AS (SELECT id, count(*) AS n_shingles FROM shk GROUP BY id),
+           |rare AS (SELECT shk.id, shk.shingle FROM shk
+           |  JOIN (SELECT shingle, count(*) AS df FROM shk GROUP BY shingle) d
+           |  ON shk.shingle = d.shingle AND d.df <= 500 AND d.df >= 2),
            |shared AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
            |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
            |SELECT id1, id2, round(shared / (n1.n_shingles + n2.n_shingles - shared), 6) AS jaccard

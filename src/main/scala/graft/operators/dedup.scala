@@ -48,12 +48,26 @@ object dedup {
       .distinct()
   }
 
+  /** 60-bit integer key for a shingle/token string: md5-prefix, the
+    * engine-portable hash (identical in any engine computing the same md5,
+    * so a collision merges the same two strings everywhere — oracle hashes
+    * stay bit-exact). Used to keep wide strings OUT of shuffles. */
+  def contentKey(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** n-gram Jaccard near-dup pairs: J(|A∩B| / |A∪B|) >= threshold.
-    * Joins only via shared shingles with df <= maxDf. */
+    * Joins only via shared shingles with df <= maxDf.
+    *
+    * Scale: the df-count and the self-join never carry shingle STRINGS —
+    * each distinct shingle is reduced to `contentKey` (8 bytes) right
+    * after generation, so the two shuffles exchange ~16 B rows regardless
+    * of k. Expected collisions merge ~n²/2^61 shingle pairs (zero at any
+    * realistic corpus), identically in the DuckDB twin. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double,
                         maxDf: Long = 1000L): DataFrame = {
     val sh = shingles(docs, idCol, textCol, k)
+      .select(col("id"), contentKey(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -96,10 +110,16 @@ object dedup {
         transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
           x => x.getField("mh")), ",").as("band_sig"))
 
-  /** MinHash-LSH candidate pairs (id1 < id2, distinct). */
+  /** MinHash-LSH candidate pairs (id1 < id2, distinct).
+    *
+    * Scale: the bucket join carries `contentKey(band_sig)` (8 bytes), not
+    * the band signature itself (rowsPerBand × 32-char hex ≈ 130 B) — at a
+    * 10^10-document corpus the candidate-join shuffle is the dominant
+    * exchange and its width is the key width. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = minhashBands(minhashLong(docs, idCol, textCol, k, numHashes), rowsPerBand)
+      .select(col("id"), col("band"), contentKey(col("band_sig")).as("band_sig"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
