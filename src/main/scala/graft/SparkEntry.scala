@@ -25,6 +25,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Pin a CPU-dense derivation at cluster width. The testdata tables are
+    * single-split parquet, and a chain of narrow ops (explode, broadcast
+    * join, codegen'd scoring) introduces NO exchange — so without this the
+    * whole chain runs on ONE task no matter how many cores exist
+    * (measured: q31's 8M Levenshtein pairs on one core, 31 s). At
+    * production scale the input's natural splits provide the width; this
+    * reproduces that shape on the tiny battery inputs. Results are
+    * partition-invariant throughout (determinism contract), so the extra
+    * exchange never changes values. */
+  private def wide(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Portable seeded pseudo-random column: LCG over a bigint key. */
   private def lcg(c: Column): Column =
     pmod(c * lit(1103515245L) + lit(12345L), lit(2147483648L))
@@ -308,16 +320,16 @@ object SparkEntry {
       dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
     "q20_shingles" -> ((s, dir) =>
-      dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 2)),
+      dedup.shingles(wide(s, t(s, dir, "documents")), "doc_id", "text", 2)),
 
     "q21_minhash_sig" -> ((s, dir) =>
-      dedup.minhashLong(t(s, dir, "documents"), "doc_id", "text", 2, 8)),
+      dedup.minhashLong(wide(s, t(s, dir, "documents")), "doc_id", "text", 2, 8)),
 
     "q22_lsh_pairs" -> ((s, dir) =>
-      dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text", 2, 8, 2)),
+      dedup.lshCandidates(wide(s, t(s, dir, "documents")), "doc_id", "text", 2, 8, 2)),
 
     "q23_ngram_jaccard" -> ((s, dir) =>
-      dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 2, 0.2, 500)
+      dedup.ngramJaccardPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 2, 0.2, 500)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
     "q24_simhash" -> ((s, dir) =>
@@ -388,7 +400,10 @@ object SparkEntry {
     // --- §2.8 scorer (mapPartitions, broadcast params) ----------------------
     "q31_scorer_pairs" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val pairs = p.as("a").join(p.as("b"),
+      // wide left side × broadcast right: the pair generation AND the
+      // scorer inherit cluster width (a 1-split × broadcast join has no
+      // exchange — measured as 8M pairs scored on one core without this)
+      val pairs = wide(s, p).as("a").join(broadcast(p).as("b"),
           col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
         .select(col("a.p_partkey").as("from_id"), col("b.p_partkey").as("to_id"),
           col("a.p_name").as("l1"), col("b.p_name").as("l2"))
@@ -555,7 +570,7 @@ object SparkEntry {
     // candidates + cosine n-best over per-doc vectors from the embeddings
     // table (the class-embedding MEAN is oracled separately by q41) --------
     "q49_embeds_align" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = wide(s, t(s, dir, "documents"))
       val vecs = t(s, dir, "embeddings").select(
         col("vec_id").cast("string").as("id"),
         similarity.toDoubleArray(col("embedding")).as("emb"))
@@ -571,7 +586,7 @@ object SparkEntry {
     // --- NES-mode alignment (nes_map.py:36-77) — the codegen'd Column
     // scorer over IDF candidates, fully declarative --------------------------
     "q50_nes_align" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = wide(s, t(s, dir, "documents"))
       val fromLab = docs.filter(col("doc_id") < 250)
         .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
       val toLab = docs.filter(col("doc_id") >= 250)

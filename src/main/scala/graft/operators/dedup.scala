@@ -65,14 +65,25 @@ object dedup {
     * realistic corpus), identically in the DuckDB twin. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double,
-                        maxDf: Long = 1000L): DataFrame = {
+                        maxDf: Long = 1000L,
+                        widthHint: Int = -1): DataFrame = {
     val sh = shingles(docs, idCol, textCol, k)
       .select(col("id"), contentKey(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val rare = sh.join(
+    val rare0 = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf && col("df") >= 2),
       "shingle")
+    // pin the self-join at cluster width (-1 = defaultParallelism, 0 =
+    // off): AQE sizes the exchange by its INPUT bytes, but this stage's
+    // cost is the per-shingle-bucket pair EXPLOSION — quadratic in bucket
+    // size, invisible to byte-based coalescing (measured: 3.8 MB in,
+    // 89.7 MB + 23 s CPU out, coalesced to ONE task). An explicit
+    // numPartitions repartition is exempt from AQE coalescing, and both
+    // join sides share it, so the SMJ stays co-partitioned.
+    val width = if (widthHint == -1)
+      docs.sparkSession.sparkContext.defaultParallelism else widthHint
+    val rare = if (width > 0) rare0.repartition(width, col("shingle")) else rare0
     val shared = rare.as("a")
       .join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -117,9 +128,15 @@ object dedup {
     * 10^10-document corpus the candidate-join shuffle is the dominant
     * exchange and its width is the key width. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = minhashBands(minhashLong(docs, idCol, textCol, k, numHashes), rowsPerBand)
+                    k: Int, numHashes: Int, rowsPerBand: Int,
+                    widthHint: Int = -1): DataFrame = {
+    val width = if (widthHint == -1)
+      docs.sparkSession.sparkContext.defaultParallelism else widthHint
+    val bands0 = minhashBands(minhashLong(docs, idCol, textCol, k, numHashes), rowsPerBand)
       .select(col("id"), col("band"), contentKey(col("band_sig")).as("band_sig"))
+    // same bucket-explosion width pin as ngramJaccardPairs
+    val bands = if (width > 0)
+      bands0.repartition(width, col("band"), col("band_sig")) else bands0
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
@@ -177,11 +194,13 @@ object dedup {
     * then verify the true distance with bit_count(xor) over the 4 bands.
     * Never compares documents that agree on no band. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, widthHint: Int = -1): DataFrame = {
     require(maxHamming <= 3,
       "4-band LSH only guarantees recall for Hamming distance <= 3 (pigeonhole)")
+    val width = if (widthHint == -1)
+      docs.sparkSession.sparkContext.defaultParallelism else widthHint
     val sig = simhash(docs, idCol, textCol)
-    val long = sig.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+    val long0 = sig.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
         explode(array(
           struct(lit(0).as("band"), col("b0").as("bv")),
           struct(lit(1).as("band"), col("b1").as("bv")),
@@ -189,6 +208,9 @@ object dedup {
           struct(lit(3).as("band"), col("b3").as("bv")))).as("e"))
       .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("e.band").as("band"), col("e.bv").as("bv"))
+    // same bucket-explosion width pin as ngramJaccardPairs
+    val long = if (width > 0)
+      long0.repartition(width, col("band"), col("bv")) else long0
     long.as("a").join(long.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.id") < col("b.id"))
@@ -202,9 +224,15 @@ object dedup {
   /** Embedding-cosine near-dup pairs within a blocking key (e.g., an LSH
     * bucket or a label/category column): avoids the global cross join. */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
-                        blockCol: String, threshold: Double): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+                        blockCol: String, threshold: Double,
+                        widthHint: Int = -1): DataFrame = {
+    val width = if (widthHint == -1)
+      vecs.sparkSession.sparkContext.defaultParallelism else widthHint
+    val v0 = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       similarity.toDoubleArray(col(vecCol)).as("v"))
+    // same bucket-explosion width pin as ngramJaccardPairs (the per-block
+    // pair cross is quadratic in block size, the cosine is CPU-dense)
+    val v = if (width > 0) v0.repartition(width, col("blk")) else v0
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cosine", similarity.cosineCol(col("a.v"), col("b.v")))

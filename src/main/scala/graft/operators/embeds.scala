@@ -47,13 +47,21 @@ object embeds {
                    fromVecs: DataFrame, toVecs: DataFrame, d: Long,
                    candidateLimit: Int = 25, nbest: Int = 1,
                    tokenizer: Column => Column = text.wordTokensCol,
-                   fixedPointIdf: Boolean = false): DataFrame = {
+                   fixedPointIdf: Boolean = false,
+                   widthHint: Int = -1): DataFrame = {
+    // widthHint -1 = cluster width (see nes.alignOneSide: without it the
+    // candidate chain from a single-split scan runs on one task); sums are
+    // associative, results partition-invariant. 0 disables.
+    val w = if (widthHint == -1)
+      fromLabels.sparkSession.sparkContext.defaultParallelism else widthHint
     val qTokens = index.postingsFromText(fromLabels, "id", "label", 0, tokenizer)
       .withColumnRenamed("class_id", "query_id")
     val toPost = index.postingsFromText(toLabels, "id", "label", 0, tokenizer)
     val cands = (if (fixedPointIdf)
-        index.idfCandidatesFixedPoint(qTokens, toPost, d, candidateLimit)
-      else index.idfCandidates(qTokens, toPost, d, candidateLimit))
+        index.idfCandidatesFixedPoint(qTokens, toPost, d, candidateLimit,
+          widthHint = w)
+      else index.idfCandidates(qTokens, toPost, d, candidateLimit,
+        widthHint = w))
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
     val scored = cands
       .join(fromVecs.select(col("id").as("from_id"), col("emb").as("fv")), "from_id")

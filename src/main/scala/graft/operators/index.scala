@@ -153,7 +153,8 @@ object index {
   def idfCandidatesFixedPoint(queryTokens: DataFrame, posting: DataFrame,
                               totalDocs: Long, limit: Int,
                               maxDfFrac: Double = 1.0,
-                              broadcastPostings: Option[Boolean] = None): DataFrame = {
+                              broadcastPostings: Option[Boolean] = None,
+                              widthHint: Int = 0): DataFrame = {
     val df0 = docFreq(posting)
     val dfKept =
       if (maxDfFrac >= 1.0) df0
@@ -161,10 +162,16 @@ object index {
     val tokenW = posting.join(dfKept, "token")
       .withColumn("w", floor(lit(1000000L) * lit(totalDocs) / col("df")).cast("long"))
       .select("token", "class_id", "w")
-    val summed = queryTokens
+    val joined = queryTokens
       .select(col("query_id"), col("token"))
       .join(if (broadcastPostings.contains(true)) broadcast(tokenW) else tokenW,
         "token")
+    // same widthHint rationale as idfCandidates: the candidate chain from
+    // here through scoring is CPU-dense over dimension-sized rows — a
+    // narrow input (single-split scan, broadcast joins all the way down)
+    // would otherwise run it on ONE task regardless of cluster width
+    val summed = (if (widthHint > 0) joined.repartition(widthHint, col("query_id"))
+                  else joined)
       .groupBy("query_id", "class_id")
       .agg(sum("w").as("idf_w"))
     val w = Window.partitionBy("query_id")

@@ -36,15 +36,26 @@ object nes {
                    tokenizer: Column => Column = text.wordTokensCol,
                    fixedPointIdf: Boolean = false,
                    jaccardWeight: Double = 0.5,
-                   editWeight: Double = 0.5): DataFrame = {
+                   editWeight: Double = 0.5,
+                   widthHint: Int = -1): DataFrame = {
     val from = fromLabels.select(col("id").cast("string").as("id"), col("label"))
     val to = toLabels.select(col("id").cast("string").as("id"), col("label"))
+    // widthHint -1 (default) pins the candidate chain at cluster width:
+    // from a single-split scan through broadcast joins there is otherwise
+    // NO exchange before the Levenshtein pair-scoring — the whole
+    // direction would run on one task (measured: 14 s of 1-task CPU at
+    // sf0.1). Fixed-point/double IDF sums are associative, so the extra
+    // exchange never changes results. 0 disables.
+    val w = if (widthHint == -1)
+      fromLabels.sparkSession.sparkContext.defaultParallelism else widthHint
     val qTokens = index.postingsFromText(from, "id", "label", 0, tokenizer)
       .withColumnRenamed("class_id", "query_id")
     val toPost = index.postingsFromText(to, "id", "label", 0, tokenizer)
     val cands = (if (fixedPointIdf)
-        index.idfCandidatesFixedPoint(qTokens, toPost, d, candidateLimit)
-      else index.idfCandidates(qTokens, toPost, d, candidateLimit))
+        index.idfCandidatesFixedPoint(qTokens, toPost, d, candidateLimit,
+          widthHint = w)
+      else index.idfCandidates(qTokens, toPost, d, candidateLimit,
+        widthHint = w))
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
     val scored = cands
       .join(from.select(col("id").as("from_id"), col("label").as("l1")), "from_id")
