@@ -50,6 +50,22 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("detectJoin + stabilize identical at 2 vs 8 shuffle partitions (repartitioned inputs)") {
+    def run(n: Int, reparts: Int) = withPartitions(n) { s =>
+      import graft.operators.mentions
+      val turns = fixtures.transcripts(s, fixtures.tiny).repartition(reparts)
+      val cls = fixtures.classes(s, fixtures.tiny)
+        .filter(_.onto == "src").repartition(reparts)
+      mentions.stabilize(mentions.detectJoin(s, turns, cls).toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(3), r.getString(4),
+          r.getInt(5))).sorted.toList
+    }
+    val a = run(2, 3)
+    val b = run(8, 7)
+    assert(a == b && a.nonEmpty)
+  }
+
   test("corpus sampling ops identical at 2 vs 8 shuffle partitions (content-keyed draws)") {
     import graft.operators.corpus
     import org.apache.spark.sql.functions.col
