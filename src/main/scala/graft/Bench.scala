@@ -259,6 +259,11 @@ object Bench {
     // episodic host noise, and two adjacent samples make regression-vs-noise
     // decidable from the artifact (a real regression reproduces in both).
     var failed = List.empty[String]
+    // untimed warmup: the first battery queries otherwise absorb session
+    // init + whole-stage-codegen JIT (measured: q02 at 15.4 s in-battery
+    // vs 0.9 s steady-state) and their numbers stop meaning anything
+    try SparkEntry.queries("q01_normalize")(sHigh, sfDir).count()
+    catch { case _: Throwable => () }
     def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

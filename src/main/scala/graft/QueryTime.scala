@@ -15,6 +15,7 @@ object QueryTime {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = Bench.session(cpus)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

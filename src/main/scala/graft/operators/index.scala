@@ -111,16 +111,31 @@ object index {
       .withColumn("idf", log10(lit(totalDocs.toDouble) / col("df")))
       .select("token", "class_id", "idf")
 
-    val joined = queryTokens
-      .select(col("query_id"), col("token"))
-      .join(if (broadcastPostings.contains(true)) broadcast(tokenIdf) else tokenIdf,
+    // widthHint pins explicit exchanges BEFORE the token join — the join
+    // is the fan-out stage (per token: |q-docs| × df output rows; measured
+    // 35M rows from two dimension-sized inputs), so the join's PROBE side
+    // must already be wide: both inputs are KB-to-MB, AQE's byte-based
+    // sizing coalesces either to one task, and a broadcast of the other
+    // side then runs the whole fan-out + partial agg single-threaded.
+    // Whichever side Catalyst broadcasts, the other carries an explicit
+    // width-pinned exchange (exempt from AQE coalescing): the query side
+    // on hash(query_id) — which the broadcast join preserves, so it also
+    // serves the IDF agg and the top-k window — and, unless the posting
+    // side is force-broadcast, the posting side on hash(token).
+    val qIn = if (widthHint > 0)
+      queryTokens.select(col("query_id"), col("token"))
+        .repartition(widthHint, col("query_id"))
+    else queryTokens.select(col("query_id"), col("token"))
+    val pIn = if (widthHint > 0 && !broadcastPostings.contains(true))
+      tokenIdf.repartition(widthHint, col("token"))
+    else tokenIdf
+    val joined = qIn
+      .join(if (broadcastPostings.contains(true)) broadcast(pIn) else pIn,
         "token")
 
     val summed =
       if (saltBuckets <= 1) {
-        val in = if (widthHint > 0) joined.repartition(widthHint, col("query_id"))
-                 else joined
-        in.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
+        joined.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
       } else {
         // two-level agg: partial per (query,candidate,salt), then final.
         // The salt derives from the *token* so a hot token's contributions
@@ -162,16 +177,20 @@ object index {
     val tokenW = posting.join(dfKept, "token")
       .withColumn("w", floor(lit(1000000L) * lit(totalDocs) / col("df")).cast("long"))
       .select("token", "class_id", "w")
-    val joined = queryTokens
-      .select(col("query_id"), col("token"))
-      .join(if (broadcastPostings.contains(true)) broadcast(tokenW) else tokenW,
+    // same pre-join widthHint as idfCandidates: pin BOTH fan-out join
+    // inputs (query side on query_id, posting side on token unless
+    // force-broadcast) so the probe side is wide whichever side Catalyst
+    // broadcasts
+    val qIn = if (widthHint > 0)
+      queryTokens.select(col("query_id"), col("token"))
+        .repartition(widthHint, col("query_id"))
+    else queryTokens.select(col("query_id"), col("token"))
+    val pIn = if (widthHint > 0 && !broadcastPostings.contains(true))
+      tokenW.repartition(widthHint, col("token"))
+    else tokenW
+    val summed = qIn
+      .join(if (broadcastPostings.contains(true)) broadcast(pIn) else pIn,
         "token")
-    // same widthHint rationale as idfCandidates: the candidate chain from
-    // here through scoring is CPU-dense over dimension-sized rows — a
-    // narrow input (single-split scan, broadcast joins all the way down)
-    // would otherwise run it on ONE task regardless of cluster width
-    val summed = (if (widthHint > 0) joined.repartition(widthHint, col("query_id"))
-                  else joined)
       .groupBy("query_id", "class_id")
       .agg(sum("w").as("idf_w"))
     val w = Window.partitionBy("query_id")

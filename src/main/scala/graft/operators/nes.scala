@@ -57,9 +57,17 @@ object nes {
       else index.idfCandidates(qTokens, toPost, d, candidateLimit,
         widthHint = w))
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
-    val scored = cands
+    val pairs = cands
       .join(from.select(col("id").as("from_id"), col("label").as("l1")), "from_id")
       .join(to.select(col("id").as("to_id"), col("label").as("l2")), "to_id")
+    // explicit width for the Levenshtein stage: the pair count is small
+    // but each evaluation is O(len²) in the label length — a narrow fused
+    // stage scores every pair on one core (measured 14 s at 1 task on
+    // document-length labels). hash(from_id, to_id) feeds the agg with no
+    // further exchange.
+    val wideP = if (w > 0) pairs.repartition(w, col("from_id"), col("to_id"))
+                else pairs
+    val scored = wideP
       .groupBy("from_id", "to_id")
       .agg(max(score.pairScoreCol(col("l1"), col("l2"),
         jaccardWeight, editWeight)).as("score"))
