@@ -97,6 +97,31 @@ object PlanCheck {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
 
+    // 9. width pins survive: the candidate fan-out join (per token,
+    // |q-docs| × df output rows) must carry the explicit
+    // REPARTITION_BY_NUM exchanges on BOTH inputs — AQE's byte-based
+    // coalescing otherwise runs the 35M-row join + partial agg on ONE
+    // task (measured; see BENCH/BASELINE.md "1-task disease"). A refactor
+    // dropping the pins would pass every correctness test and silently
+    // serialize the chain, so the plan shape itself is the regression gate.
+    check("candidates: fan-out join width pins on both inputs",
+      wanted = Seq("REPARTITION_BY_NUM")) {
+      import graft.operators.nes
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val fromLab = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
+      val toLab = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("label"))
+      val plan = nes.alignOneSide(fromLab, toLab, 400, 5, 1)
+      val formatted = plan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pins = "REPARTITION_BY_NUM".r.findAllIn(formatted).size
+      require(pins >= 3,
+        s"expected >= 3 explicit width pins (query side, posting side, " +
+          s"pair scoring), found $pins")
+      plan
+    }
+
     // 8. Main-path: the observe() turns metric (CollectMetrics) must not
     // block the same pruning — the transcript scan under spark-submit reads
     // only (conv_id, turn_idx, text) even with the metric attached
