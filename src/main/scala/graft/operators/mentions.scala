@@ -117,7 +117,8 @@ object mentions {
     * (turn_idx, onto, class_iri) is a total key after the groupBy, so
     * `mention_ord` is the stable per-conversation ordinal downstream
     * consumers key on. */
-  def stabilize(mens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def stabilize(mens: org.apache.spark.sql.DataFrame,
+                widthHint: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE conv_id-partitioned shuffle serves both the dedup and the
     // ordinal (a groupBy on the 4-col key would add a second, transcript-
@@ -139,11 +140,20 @@ object mentions {
         lag(col("turn_idx"), 1).over(wAll) =!= col("turn_idx") ||
         lag(col("onto"), 1).over(wAll) =!= col("onto") ||
         lag(col("class_iri"), 1).over(wAll) =!= col("class_iri")
+    // widthHint > 0 pins the conv_id exchange at that width: the mention
+    // stream is transcript-proportional (the 12M-turn bench run shuffles
+    // ~490 MB through this ONE exchange), and the default
+    // shuffle.partitions is sized for the catalog-side tiny stages —
+    // measured 119 core-s squeezed into 10 tasks at local[32] without the
+    // pin. HashPartitioning(conv_id) satisfies both window distributions,
+    // so the explicit exchange REPLACES the window's own, never adds one.
+    val in = if (widthHint > 0)
+      mens.repartition(widthHint, col("conv_id")) else mens
     // NO projection: extra columns (e.g. event-time `ts` on timestamped
     // mention frames) ride along on the surviving first-of-group row,
     // which is well-defined — exactly one row per (turn, onto, class)
     // group passes the lag filter
-    mens
+    in
       .withColumn("_first", firstOfGroup)
       .filter(col("_first")).drop("_first")
       .withColumn("mention_ord", row_number().over(wOrd))

@@ -213,7 +213,10 @@ object Pipeline {
       val detected =
         if (useJoin) mentions.detectJoin(spark, turns, dictDs)
         else mentions.detect(spark, turns, dictDs.collect().toSeq)
-      val m = mentions.stabilize(detected.toDF())
+      // transcript-proportional exchange at cluster width (the catalog-side
+      // shuffle.partitions default is sized for tiny dimension stages)
+      val m = mentions.stabilize(detected.toDF(),
+        spark.sparkContext.defaultParallelism)
       mark("mentions planned")
       m
     }
