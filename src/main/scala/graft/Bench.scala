@@ -261,9 +261,13 @@ object Bench {
     var failed = List.empty[String]
     // untimed warmup: the first battery queries otherwise absorb session
     // init + whole-stage-codegen JIT (measured: q02 at 15.4 s in-battery
-    // vs 0.9 s steady-state) and their numbers stop meaning anything
-    try SparkEntry.queries("q01_normalize")(sHigh, sfDir).count()
-    catch { case _: Throwable => () }
+    // vs 0.9 s steady-state) and their numbers stop meaning anything.
+    // Two warmup shapes: a scan-project (q01) and an explode+distinct+agg
+    // (q02) — the codegen templates the rest of the battery reuses.
+    Seq("q01_normalize", "q02_postings").foreach { w =>
+      try SparkEntry.queries(w)(sHigh, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
