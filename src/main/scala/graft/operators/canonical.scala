@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.stage.implicits._
 
 /**
  * Entity canonicalization + triple materialization — the graft's output
@@ -34,10 +35,10 @@ object canonical {
     var e = edges.select(col("entity1").as("a"), col("entity2").as("b"))
       .unionByName(edges.select(col("entity2").as("a"), col("entity1").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("canonical", col("id"))
-      .localCheckpoint(true)
+      .materialize
     var iter = 0
     while (iter < maxIter && !e.isEmpty) {
       // (1) min over self and current representatives' neighbor labels
@@ -52,13 +53,13 @@ object canonical {
         .join(updated.select(col("id").as("cid"), col("canonical").as("cc")).as("y"),
           col("x.canonical") === col("y.cid"))
         .select(col("x.id").as("id"), col("y.cc").as("canonical"))
-        .localCheckpoint(true)
+        .materialize
       // (3) contract: edges between current representatives only
       e = e.join(jumped.select(col("id").as("a"), col("canonical").as("ca")), "a")
         .join(jumped.select(col("id").as("b"), col("canonical").as("cb")), "b")
         .select(col("ca").as("a"), col("cb").as("b"))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+        .materialize
       labels = jumped
       iter += 1
     }
@@ -77,7 +78,7 @@ object canonical {
         .join(labels.select(col("id").as("cid"), col("canonical").as("cc")).as("y"),
           col("x.canonical") === col("y.cid"))
         .select(col("x.id").as("id"), col("y.cc").as("canonical"))
-        .localCheckpoint(true)
+        .materialize
       changed = next.as("n")
         .join(labels.select(col("id"), col("canonical").as("old")), "id")
         .filter(col("canonical") =!= col("old")).count()

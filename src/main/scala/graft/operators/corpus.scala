@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.stage.implicits._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.rnd
 
@@ -336,10 +337,11 @@ object corpus {
 
   /** Raw cross-soft draws (both sides, multiplicity preserved) plus the
     * cross-synonym pair set the check consults. Intermediates are
-    * localCheckpoint'd, NOT cache()'d: cached plans pin storage memory in
-    * the shared CacheManager for the session's lifetime, while checkpoint
-    * blocks are released when the DataFrame is garbage-collected — repeated
-    * corpus builds in a long-lived session stay flat. */
+    * stage.materialize'd, NOT cache()'d: cached plans pin storage memory
+    * in the shared CacheManager for the session's lifetime, while
+    * checkpoint blocks are released when the DataFrame is garbage-collected
+    * — repeated corpus builds in a long-lived session stay flat (see
+    * plans/stage.scala for the local-vs-reliable fault-tolerance knob). */
   private def crossSoftDraws(maps: DataFrame, srcClasses: DataFrame,
                              tgtClasses: DataFrame, rate: Int, seed: Long,
                              m: Long): (DataFrame, DataFrame) = {
@@ -350,7 +352,7 @@ object corpus {
     val srcLab = srcClasses.select(col("class_iri").as("entity1"), col("labels").as("src_labels"))
     val tgtLab = tgtClasses.select(col("class_iri").as("entity2"), col("labels").as("tgt_labels"))
     val withLabels = idx.join(srcLab, "entity1").join(tgtLab, "entity2")
-      .select("midx", "src_labels", "tgt_labels").localCheckpoint(true)
+      .select("midx", "src_labels", "tgt_labels").materialize
 
     def side(labCol: String, oppCol: String, tag: String): DataFrame = {
       val partner = withLabels.select(col("midx").as("o_idx"), col(oppCol).as("o_labels"))
@@ -386,12 +388,12 @@ object corpus {
   def assembleSplits(corpusLong: DataFrame, softNegRate: Double,
                      hardNegRate: Double, valRatio: Double, seed: Long): DataFrame = {
     val pairCols = Seq("sent1", "sent2", "label", "kind").map(col)
-    // localCheckpoint, not cache: see crossSoftDraws — checkpoint blocks are
-    // GC-released, cached plans pin storage memory for the session lifetime
+    // stage.materialize, not cache: see crossSoftDraws — checkpoint blocks
+    // are GC-released, cached plans pin storage memory for the session life
     val syn = corpusLong.filter(col("label") === 1 && col("kind") =!= "id_syn")
-      .select(pairCols: _*).distinct().localCheckpoint(true)
+      .select(pairCols: _*).distinct().materialize
     val idSyn = corpusLong.filter(col("kind") === "id_syn")
-      .select(pairCols: _*).distinct().localCheckpoint(true)
+      .select(pairCols: _*).distinct().materialize
     val soft = corpusLong.filter(col("kind").isin("soft_neg", "co_soft_neg"))
       .select(pairCols: _*).distinct()
     val hard = corpusLong.filter(col("kind") === "hard_neg")

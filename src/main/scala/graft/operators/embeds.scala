@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.stage.implicits._
 import graft.functions.{text, vecagg}
 
 /**
@@ -80,11 +81,11 @@ object embeds {
                   tokenizer: Column => Column = text.wordTokensCol): DataFrame = {
     val srcLabels = srcLabels0.select(col("id").cast("string").as("id"), col("label"))
     val tgtLabels = tgtLabels0.select(col("id").cast("string").as("id"), col("label"))
-    // localCheckpoint, not cache: the class-vector tables are consumed by
-    // both directions then never again — cache() would pin them in the
+    // stage.materialize, not cache: the class-vector tables are consumed
+    // by both directions then never again — cache() would pin them in the
     // session CacheManager forever, checkpoint blocks release on GC
-    val srcVecs = classEmbeddings(spark, srcLabels, dim).localCheckpoint(true)
-    val tgtVecs = classEmbeddings(spark, tgtLabels, dim).localCheckpoint(true)
+    val srcVecs = classEmbeddings(spark, srcLabels, dim).materialize
+    val tgtVecs = classEmbeddings(spark, tgtLabels, dim).materialize
     val sizes = srcLabels.select(lit("s").as("side"), col("id"))
       .unionByName(tgtLabels.select(lit("t").as("side"), col("id")))
       .groupBy("side").agg(countDistinct("id").as("n"))

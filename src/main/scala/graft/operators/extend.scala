@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.stage.implicits._
 
 /**
  * Greedy iterative mapping extension
@@ -15,7 +16,7 @@ import org.apache.spark.sql.functions._
  *
  * Spark shape: a driver while-loop over DataFrames; each iteration is two
  * hierarchy joins per side + a left-anti "seen" join + the scorer hop. The
- * accumulated set is localCheckpoint()ed every iteration to cut lineage
+ * accumulated set is stage.materialize'd every iteration to cut lineage
  * (50 self-join generations would otherwise blow up the plan), and the loop
  * exits early on an empty frontier (onto_extend.py:39).
  */
@@ -40,10 +41,10 @@ object extend {
 
     val pairCols = Seq("entity1", "entity2")
     var seen = seeds.select(pairCols.map(col): _*).distinct()
-      .localCheckpoint(true)
+      .materialize
     var frontier = seeds.filter(col("value") >= kappa)
       .select(pairCols.map(col): _*).distinct()
-      .localCheckpoint(true)
+      .materialize
     // accumulate checkpointed per-iteration outputs; union lazily (one
     // materialization per iteration — `kept` — instead of four)
     val expansionParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -78,7 +79,7 @@ object extend {
           max(when(col("l1") === col("l2"), 1.0).otherwise(0.0))).as("value"))
         .select(col("from_id").as("entity1"), col("to_id").as("entity2"), col("value"))
       val kept = scored.filter(col("value") >= kappa)
-        .localCheckpoint(true) // the ONE materialization per iteration
+        .materialize // the ONE materialization per iteration
 
       expansionParts += kept
       // lazy unions over checkpointed parts: lineage depth = #iterations,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.stage.implicits._
 
 /**
  * Hierarchy depth — the reference's recursive DAG depth
@@ -21,12 +22,12 @@ object hierarchy {
   def depth(spark: SparkSession, edges: DataFrame, longest: Boolean,
             maxRounds: Int = 64): DataFrame = {
     val e = edges.select(col("child_iri"), col("parent_iri")).distinct()
-      .localCheckpoint(true)
+      .materialize
     val nodes = e.select(col("child_iri").as("id"))
       .unionByName(e.select(col("parent_iri").as("id"))).distinct()
     val roots = nodes.join(e.select(col("child_iri").as("id")), Seq("id"), "left_anti")
 
-    var depths = roots.withColumn("depth", lit(0L)).localCheckpoint(true)
+    var depths = roots.withColumn("depth", lit(0L)).materialize
     var frontier = depths
     var round = 0
     val pick: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
@@ -47,11 +48,11 @@ object hierarchy {
         .filter(col("old_depth").isNull ||
           (if (longest) col("p_depth") > col("old_depth") else col("p_depth") < col("old_depth")))
         .select(col("id"), col("p_depth").as("depth"))
-        .localCheckpoint(true)
+        .materialize
       depths = depths.join(improved.select(col("id")), Seq("id"), "left_anti")
         .unionByName(improved)
         .toDF("id", "depth")
-        .localCheckpoint(true)
+        .materialize
       frontier = improved
       round += 1
     }

@@ -127,14 +127,23 @@ object mentions {
     // the lag() comparison keeps exactly it — and the ordinal window's
     // required sort is a prefix of the dedup window's, so Catalyst plans
     // no second exchange or sort.
-    val wAll = Window.partitionBy(col("conv_id"))
-      .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc,
-        col("surface").asc)
-    val wOrd = Window.partitionBy(col("conv_id"))
-      .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc)
     val keyCols = Seq("conv_id", "turn_idx", "onto", "class_iri", "surface")
     require(keyCols.forall(mens.columns.contains),
       s"stabilize needs columns $keyCols, got ${mens.columns.toSeq}")
+    // Extra (non-key) columns ride along on the surviving row, so they must
+    // be part of the survivor's total order too: two rows tying on the full
+    // 5-col key but differing in an extra column (e.g. duplicate mention
+    // evidence with two distinct `ts` values) would otherwise make the
+    // survivor's extras partition-dependent — exactly the nondeterminism
+    // this function exists to remove. Appending them after the key keeps
+    // wOrd's sort a prefix of wAll's (no second exchange or sort); extras
+    // must therefore be of orderable types (atomic/struct/array — not map).
+    val extraCols = mens.columns.filterNot(keyCols.contains).toSeq
+    val wAll = Window.partitionBy(col("conv_id"))
+      .orderBy((Seq(col("turn_idx").asc, col("onto").asc, col("class_iri").asc,
+        col("surface").asc) ++ extraCols.map(c => col(c).asc)): _*)
+    val wOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").asc, col("onto").asc, col("class_iri").asc)
     val firstOfGroup =
       lag(col("turn_idx"), 1).over(wAll).isNull ||
         lag(col("turn_idx"), 1).over(wAll) =!= col("turn_idx") ||
@@ -159,8 +168,9 @@ object mentions {
       .withColumn("mention_ord", row_number().over(wOrd))
   }
 
-  /** Compatibility shim for the n-gram API (tests, small callers). */
-  def detectInText(dict: Map[String, Seq[(String, String)]], maxWords: Int,
+  /** Single-string convenience wrapper over the trie kernel (tests, small
+    * callers). Like the trie, it matches surfaces of any token length. */
+  def detectInText(dict: Map[String, Seq[(String, String)]],
                    txt: String): Seq[(String, String, String)] =
     detectInTrie(buildTrie(dict), fastTokens(txt))
 
@@ -195,11 +205,38 @@ object mentions {
     *      spans — per-turn state only, so it distributes like any other
     *      per-row kernel.
     *
-    * MentionsSpec pins detectJoin ≡ detect on the fixture. */
+    * MentionsSpec pins detectJoin ≡ detect on the fixture.
+    *
+    * `maxWords` bounds the n-gram explode width. The default 0 means
+    * "derive from the dictionary": one cheap dimension-side agg computes
+    * the longest surface's token count, so the join kernel matches every
+    * dictionary surface — the same contract as the trie kernel, which is
+    * bounded only by trie depth. An explicit positive `maxWords` caps the
+    * transcript-side explode instead; dictionary surfaces longer than the
+    * cap can never match, so they are dropped from the join with a loud
+    * warning (count included) rather than silently producing a kernel
+    * whose results diverge from the trie's. */
   def detectJoin(spark: SparkSession, turns: Dataset[Turn],
-                 classes: Dataset[ClassText], maxWords: Int = 4): Dataset[Mention] = {
+                 classes: Dataset[ClassText], maxWords: Int = 0): Dataset[Mention] = {
     import spark.implicits._
-    val dict = surfaceDictDf(classes)
+    val dict0 = surfaceDictDf(classes)
+      .withColumn("_kw", size(split(col("key"), " ")))
+    // one tiny action on the dimension side: longest surface + (when an
+    // explicit cap is given) how many surfaces the cap would drop
+    val dims = dict0.agg(
+        max(col("_kw")).as("mx"),
+        sum(when(col("_kw") > lit(if (maxWords > 0) maxWords else Int.MaxValue), 1L)
+          .otherwise(0L)).as("dropped"))
+      .collect()(0)
+    val dictMax = if (dims.isNullAt(0)) 1 else dims.getInt(0)
+    val effMaxWords = if (maxWords > 0) maxWords else math.max(1, dictMax)
+    val dropped = if (dims.isNullAt(1)) 0L else dims.getLong(1)
+    if (dropped > 0)
+      System.err.println(s"[graft] detectJoin: maxWords=$maxWords drops " +
+        s"$dropped dictionary surface(s) longer than the cap (longest has " +
+        s"$dictMax tokens) — those entities can never match; pass " +
+        s"maxWords=0 to derive the bound from the dictionary instead")
+    val dict = dict0.filter(col("_kw") <= effMaxWords).drop("_kw")
     val toks = turns
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .withColumn("toks", text.wordTokensCol(col("text")))
@@ -214,7 +251,7 @@ object mentions {
         explode(sequence(lit(1), size(col("toks")))).as("start"))
       .select(col("conv_id"), col("turn_idx"), col("toks"), col("start"),
         explode(sequence(lit(1),
-          least(lit(maxWords), size(col("toks")) - col("start") + 1))).as("len"))
+          least(lit(effMaxWords), size(col("toks")) - col("start") + 1))).as("len"))
       .select(col("conv_id"), col("turn_idx"), col("start"), col("len"),
         array_join(slice(col("toks"), col("start"), col("len")), " ").as("key"))
     val hits = grams.join(dict, "key")
@@ -258,7 +295,7 @@ object mentions {
     * transcript columns never leave storage (this matters at 10^12-turn
     * scale far more than kernel speed). */
   def detect(spark: SparkSession, turns: Dataset[Turn],
-             classes: Seq[ClassText], maxWords: Int = 4): Dataset[Mention] = {
+             classes: Seq[ClassText]): Dataset[Mention] = {
     import spark.implicits._
     val trieBc = spark.sparkContext.broadcast(buildTrie(surfaceDict(classes)))
     turns

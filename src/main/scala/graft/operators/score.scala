@@ -52,36 +52,12 @@ object score {
   }
 
   /**
-   * Score label pairs: input must have columns (from_id, to_id, l1, l2);
-   * output adds `pair_score`. Runs in mapPartitions with broadcast params,
-   * batching `params.batchSize` rows per kernel call.
-   */
-  def scoreLabelPairs(spark: SparkSession, pairs: DataFrame,
-                      params: ScorerParams = ScorerParams()): DataFrame = {
-    val bc: Broadcast[ScorerParams] = spark.sparkContext.broadcast(params)
-    val inSchema = pairs.schema
-    val outSchema = inSchema.add(StructField("pair_score", DoubleType, nullable = false))
-    val l1Idx = inSchema.fieldIndex("l1")
-    val l2Idx = inSchema.fieldIndex("l2")
-    val rdd = pairs.rdd.mapPartitions { it =>
-      val p = bc.value
-      it.grouped(p.batchSize).flatMap { rows =>
-        val batch = rows.map(r => (r.getString(l1Idx), r.getString(l2Idx))).toArray
-        val scores = scoreBatch(p, batch)
-        rows.iterator.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ scores(i))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
-
-  /**
-   * Typed-Dataset variant of the scorer for string-keyed pairs: a
-   * MapPartitions *logical* node, so Catalyst/AQE still own the plan
-   * around it (the df.rdd route above compiles its upstream
-   * non-adaptively and inserts an optimization barrier — fine for a
-   * terminal hop, costly mid-pipeline).
+   * Batched scorer over (from_id, to_id, l1, l2) pairs, appending
+   * `pair_score`: a MapPartitions *logical* node over a typed projection,
+   * so Catalyst/AQE still own the plan around it. (An earlier `df.rdd`
+   * variant compiled its upstream non-adaptively and inserted an
+   * optimization barrier — never do that mid-pipeline; it was deleted once
+   * every caller moved here.)
    */
   def scoreLabelPairsTyped(spark: SparkSession, pairs: DataFrame,
                            params: ScorerParams = ScorerParams()): DataFrame = {

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.stage.implicits._
 import org.apache.spark.sql.expressions.Window
 import graft.model._
 import graft.functions.text
@@ -159,10 +160,10 @@ object Pipeline {
     import scala.concurrent.ExecutionContext.Implicits.global
     val s2tF = Future(align.orient(
       alignOneSide(spark, srcLabels, tgtLabels, srcPost, tgtPost, dTgt, p),
-      fromIsSrc = true).localCheckpoint(true))
+      fromIsSrc = true).materialize)
     val t2sF = Future(align.orient(
       alignOneSide(spark, tgtLabels, srcLabels, tgtPost, srcPost, dSrc, p),
-      fromIsSrc = false).localCheckpoint(true))
+      fromIsSrc = false).materialize)
     align.combine(Await.result(s2tF, Duration.Inf), Await.result(t2sF, Duration.Inf))
   }
 
@@ -227,7 +228,7 @@ object Pipeline {
 
     val raw = precomputedRaw.getOrElse(
       align.atThreshold(rawMappings(spark, srcLabels, tgtLabels, p), p.threshold)
-        .localCheckpoint(true))
+        .materialize)
     mark("raw mappings done")
 
     val srcEdges = edges.toDF().filter(col("onto") === "src")
@@ -245,7 +246,7 @@ object Pipeline {
       .groupBy("entity1", "entity2").agg(max(col("value")).as("value"))
 
     val repaired = repair.repairMappings(extended, srcEdges, tgtEdges)
-      .localCheckpoint(true)
+      .materialize
     mark("repair done")
 
     val mens = Await.result(mensF, Duration.Inf)

@@ -21,7 +21,7 @@ class MentionsSpec extends SparkSuite {
 
   test("detectInText: longest match wins, scan continues after match") {
     val d = mentions.surfaceDict(classes)
-    val out = mentions.detectInText(d, 4, "patient has Heart Failure and heart issues")
+    val out = mentions.detectInText(d, "patient has Heart Failure and heart issues")
     assert(out.contains(("src", "src:C1", "heart failure")))
     assert(out.contains(("src", "src:C2", "heart")))       // the second 'heart'
     assert(!out.contains(("src", "src:C3", "failure")))    // consumed by longest match
@@ -66,6 +66,58 @@ class MentionsSpec extends SparkSuite {
     assert(out.contains(Mention("c1", 0, "src", "src:C1", "heart failure")))
     assert(out.contains(Mention("c1", 0, "src", "src:C2", "heart"))) // 2nd heart
     assert(!out.exists(_.class_iri == "src:C3")) // 'failure' consumed
+  }
+
+  test("detectJoin: surfaces longer than the old 4-token cap still match (maxWords derived from dict)") {
+    // regression: the join kernel previously capped n-grams at 4 tokens
+    // while the trie matches any length — a 5-token surface was silently
+    // dropped by linker=join, changing results vs linker=trie
+    val cls = Seq(
+      ClassText("src", "src:L1", 0L, Seq("acute on chronic heart failure syndrome")),
+      ClassText("src", "src:L2", 1L, Seq("heart")))
+    val turns = Seq(
+      Turn("c1", 0, "user",
+        "diagnosis acute on chronic heart failure syndrome confirmed", null,
+        new Timestamp(0L))).toDS()
+    val joined = mentions.detectJoin(spark, turns, cls.toDS()).collect().toSet
+    val trie = mentions.detect(spark, turns, cls).collect().toSet
+    assert(joined.contains(
+      Mention("c1", 0, "src", "src:L1", "acute on chronic heart failure syndrome")))
+    assert(joined == trie)
+  }
+
+  test("detectJoin: explicit maxWords cap drops over-long dict surfaces loudly, not wrong results") {
+    val cls = Seq(
+      ClassText("src", "src:L1", 0L, Seq("one two three four five")),
+      ClassText("src", "src:L2", 1L, Seq("one two")))
+    val turns = Seq(
+      Turn("c1", 0, "user", "text one two three four five end", null,
+        new Timestamp(0L))).toDS()
+    val out = mentions.detectJoin(spark, turns, cls.toDS(), maxWords = 2)
+      .collect().toSet
+    // the capped kernel can never match the 5-token surface; it must fall
+    // back to the 2-token entity rather than emit a truncated phantom match
+    assert(out == Set(Mention("c1", 0, "src", "src:L2", "one two")))
+  }
+
+  test("stabilize: extra-column survivor is partition-invariant (full-row tiebreak)") {
+    // two rows tying on the full 5-col key but differing in an extra column:
+    // the survivor's extra value must not depend on partitioning
+    val rows = Seq(
+      ("c1", 0, "src", "e1", "s", new Timestamp(500L)),
+      ("c1", 0, "src", "e1", "s", new Timestamp(100L)),
+      ("c1", 1, "src", "e2", "t", new Timestamp(900L)))
+    def run(parts: Int) = {
+      val df = rows.toDF("conv_id", "turn_idx", "onto", "class_iri", "surface", "ts")
+        .repartition(parts)
+      mentions.stabilize(df)
+        .select("conv_id", "turn_idx", "class_iri", "ts")
+        .as[(String, Int, String, Timestamp)].collect().sortBy(r => (r._1, r._2)).toList
+    }
+    val a = run(1)
+    val b = run(7)
+    assert(a == b)
+    assert(a.head._4 == new Timestamp(100L)) // min ts survives, deterministically
   }
 
   test("stabilize: two distinct surfaces for one (turn, entity) collapse to min(surface) deterministically") {

@@ -104,4 +104,27 @@ class PipelineE2ESpec extends SparkSuite {
     assert(sameAs.size < natural,
       s"sameAs=${sameAs.size} >= natural=$natural: alignment chain re-ran despite precomputedRaw")
   }
+
+  test("stage.materialize reliable mode survives via the checkpoint dir (fault-tolerant lineage cut)") {
+    // the cluster-safe materialization policy: blocks go to the checkpoint
+    // dir (HDFS/S3A on a cluster), so executor loss / dynamic-allocation
+    // decommission can recompute — unlike localCheckpoint's executor-local
+    // blocks. Same lineage-truncation contract as the default local mode.
+    val dir = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.materialize", "reliable")
+    try {
+      val df = Seq(1, 2, 3).toDF("x").withColumn("y", col("x") * 2)
+      val m = graft.plans.stage.materialize(df)
+      assert(m.select(sum(col("y"))).as[Long].head() == 12L)
+      // lineage is truncated: the materialized plan no longer contains the
+      // arithmetic projection, it reads checkpointed blocks
+      assert(!m.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+      // and the blocks are durable files under the checkpoint dir
+      val files = new java.io.File(dir).listFiles()
+      assert(files != null && files.nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.materialize", "local")
+    }
+  }
 }

@@ -20,12 +20,13 @@ class ScoreAlignSpec extends SparkSuite {
       List(score.scorePair(p, "a b", "a c"), 1.0))
   }
 
-  test("scoreLabelPairs: mapPartitions scorer appends pair_score") {
+  test("scoreLabelPairsTyped: mapPartitions scorer appends pair_score") {
     val pairs = Seq((1L, 2L, "heart failure", "heart failure"),
       (1L, 3L, "heart failure", "renal disease"))
       .toDF("from_id", "to_id", "l1", "l2")
-    val m = score.scoreLabelPairs(spark, pairs)
-      .select("to_id", "pair_score").as[(Long, Double)].collect().toMap
+    val m = score.scoreLabelPairsTyped(spark, pairs)
+      .select("to_id", "pair_score").as[(String, Double)].collect()
+      .map { case (k, v) => (k.toLong, v) }.toMap
     assert(m(2L) == 1.0 && m(3L) < 0.5)
   }
 
