@@ -41,6 +41,21 @@ object SparkEntry {
   private def lcg(c: Column): Column =
     pmod(c * lit(1103515245L) + lit(12345L), lit(2147483648L))
 
+  /** Hand WordPiece vocab for q54 — the single source of truth for the
+    * Spark query AND its DuckDB oracle twin (rendered as a VALUES list).
+    * Chosen to exercise every branch of the greedy kernel on the documents
+    * fixture's words: whole-word hits, multi-piece splits, longest-match
+    * preference (custom over cust), dead ends after a partial prefix
+    * (slow → slo + missing ##w, spark → s + missing ##park — NO
+    * backtracking, whole word becomes [UNK]) and fully-unknown words
+    * (vector, dup). */
+  private val WpVocab: Seq[String] = Seq(
+    "a", "the", "table", "scan", "agg", "row", "key", "join", "data", "big",
+    "fast", "line", "value", "part", "hash", "group", "order", "small", "query",
+    "wind", "##ow", "fil", "##ter", "custom", "##er", "cust", "##omer",
+    "str", "##eam", "bat", "##ch", "col", "##um", "##n", "mer", "##ge",
+    "s", "##ort", "slo", "##low")
+
   // ---------------------------------------------------------------------
   // Flagship: end-to-end KG construction on the tiny synthetic fixture
   // ---------------------------------------------------------------------
@@ -532,6 +547,29 @@ object SparkEntry {
         col("n_mappings"), col("n_ignored"), col("p"), col("r"), col("f1"))
     }),
 
+    // --- flagship TRIPLE-SET gate: the q40 output itself, reduced to one
+    // partition-invariant digest row the oracle can pin as constants (the
+    // same argument as q40g: the pipeline is partition-invariant by
+    // DeterminismSpec and the fixture is a pure function of seed 42, so
+    // the triple multiset — hence any content digest of it — is a constant
+    // of the code). Per-row md5 folded to 31 bits then summed: order-free,
+    // sensitive to every (subj, pred, obj, round(score,6)) value and to
+    // multiplicity. Closes the one rows-only gap: q40's emitted triples
+    // are now hash-compared by the driver, not just counted. -------------
+    "q40t_triples_hash" -> ((s, dir) => {
+      val trip = Pipeline.flagship(s)
+      val rowKey = concat_ws("\u0001", col("subj"), col("pred"), col("obj"),
+        round(col("score"), 6).cast("string"))
+      val h = pmod(conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long"),
+        lit(2147483648L))
+      trip.agg(
+        count(lit(1)).as("n_triples"),
+        sum(when(col("pred") === "sameAs", 1L).otherwise(0L)).as("n_sameas"),
+        sum(when(col("pred") === "mentions", 1L).otherwise(0L)).as("n_mentions"),
+        sum(when(col("pred") === "broader", 1L).otherwise(0L)).as("n_broader"),
+        sum(h).as("hash_sum"))
+    }),
+
     // --- mention detect + stabilize, DuckDB-oracled: the join-based detect
     // kernel (greedy longest-match over word n-grams — same semantics as
     // the broadcast trie, pinned equal by MentionsSpec) over the documents
@@ -565,6 +603,14 @@ object SparkEntry {
     "q48_subword_postings" -> ((s, dir) =>
       index.postingsFromText(t(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", 0, c => graft.functions.text.subwordTokensCol(c))),
+
+    // --- vocab-driven WordPiece postings (onto_index.py:38-47: the real
+    // BERT-vocab greedy longest-match tokenizer, vocab broadcast once) ----
+    "q54_wordpiece_postings" -> ((s, dir) => {
+      val vocabBc = s.sparkContext.broadcast(WpVocab.toSet)
+      index.postingsFromText(t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", 0, c => graft.functions.text.wordpieceTokensCol(vocabBc)(c))
+    }),
 
     // --- embeds-mode alignment (bert_embeds_map.py:49-136), fixed-point IDF
     // candidates + cosine n-best over per-doc vectors from the embeddings
@@ -1181,6 +1227,59 @@ object SparkEntry {
            |WHERE length(token) > 0""".stripMargin
       },
 
+      "q54_wordpiece_postings" -> {
+        // greedy longest-match WordPiece as a recursive CTE (the q51
+        // pattern): `best` precomputes the longest vocab piece at every
+        // (word, position) — continuation pieces only match past position
+        // 1 — then the walk advances by the matched length with no
+        // backtracking; any walked position with no piece marks the whole
+        // word [UNK], exactly the BERT WordpieceTokenizer contract
+        val vocabValues = WpVocab.map(v => s"('$v')").mkString(", ")
+        s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabValues),
+           |v AS (
+           |  SELECT tok,
+           |    CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END AS body,
+           |    starts_with(tok, '##') AS cont,
+           |    length(CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END) AS blen
+           |  FROM vocab),
+           |words AS (
+           |  SELECT DISTINCT word FROM (
+           |    SELECT unnest($toks) AS word FROM documents WHERE doc_id < 100)
+           |  WHERE length(word) > 0),
+           |pos AS (
+           |  SELECT word, unnest(generate_series(1, length(word))) AS sp FROM words),
+           |best AS (
+           |  SELECT p.word, p.sp, MAX(v.blen) AS blen
+           |  FROM pos p JOIN v
+           |    ON v.cont = (p.sp > 1)
+           |   AND substr(p.word, CAST(p.sp AS INT), CAST(v.blen AS INT)) = v.body
+           |  GROUP BY 1, 2),
+           |walk AS (
+           |  SELECT word, 1 AS sp, length(word) AS wlen FROM words
+           |  UNION ALL
+           |  SELECT w.word, w.sp + CAST(b.blen AS INT) AS sp, w.wlen
+           |  FROM walk w JOIN best b ON b.word = w.word AND b.sp = w.sp
+           |  WHERE w.sp <= w.wlen),
+           |bad AS (
+           |  SELECT DISTINCT w.word
+           |  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.sp = w.sp
+           |  WHERE w.sp <= w.wlen AND b.word IS NULL),
+           |pieces AS (
+           |  SELECT w.word,
+           |    CASE WHEN w.sp > 1 THEN '##' || substr(w.word, CAST(w.sp AS INT), CAST(b.blen AS INT))
+           |         ELSE substr(w.word, CAST(w.sp AS INT), CAST(b.blen AS INT)) END AS token
+           |  FROM walk w JOIN best b ON b.word = w.word AND b.sp = w.sp
+           |  WHERE w.word NOT IN (SELECT word FROM bad)
+           |  UNION ALL
+           |  SELECT word, '[UNK]' AS token FROM bad),
+           |docw AS (
+           |  SELECT DISTINCT doc_id, word FROM (
+           |    SELECT doc_id, unnest($toks) AS word FROM documents WHERE doc_id < 100)
+           |  WHERE length(word) > 0)
+           |SELECT DISTINCT d.doc_id AS class_id, p.token
+           |FROM docw d JOIN pieces p USING (word)""".stripMargin
+      },
+
       "q49_embeds_align" -> {
         val labToks = "list_filter(string_split_regex(lower(label), '[^a-z0-9]+'), x -> x <> '')"
         s"""WITH froml AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS label FROM documents WHERE doc_id < 250),
@@ -1267,6 +1366,16 @@ object SparkEntry {
           |  CAST(91 AS BIGINT) AS n_mappings, CAST(9 AS BIGINT) AS n_ignored,
           |  CAST(1.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS r,
           |  CAST(1.0 AS DOUBLE) AS f1""".stripMargin
+      },
+
+      "q40t_triples_hash" -> {
+        // constants of the code, same argument as q40g: partition-invariant
+        // pipeline (DeterminismSpec) × seed-42 fixture ⇒ the triple multiset
+        // digest is fixed; any change to the emitted triples moves hash_sum
+        """SELECT CAST(476 AS BIGINT) AS n_triples,
+          |  CAST(100 AS BIGINT) AS n_sameas, CAST(280 AS BIGINT) AS n_mentions,
+          |  CAST(96 AS BIGINT) AS n_broader,
+          |  CAST(485655843568 AS BIGINT) AS hash_sum""".stripMargin
       },
 
       "q51_detect_greedy" -> {

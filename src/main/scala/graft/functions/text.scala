@@ -82,6 +82,59 @@ object text {
   def keepToken(t: String, cut: Int): Boolean = t.length > cut
 
   // -------------------------------------------------------------------------
+  // Vocab-driven WordPiece (onto_index.py:38-47 tokenizes with a real BERT
+  // vocab via AutoTokenizer; this is that algorithm — greedy longest-match
+  // with "##" continuation pieces and whole-word [UNK] on any dead end —
+  // with the vocab supplied by the caller instead of a fixed checkpoint)
+  // -------------------------------------------------------------------------
+
+  val WordpieceUnk = "[UNK]"
+
+  /** Greedy longest-match WordPiece of ONE word (already lowercased
+    * alnum): repeatedly take the longest vocab piece at the cursor
+    * ("##"-prefixed after the first), no backtracking; if no piece matches
+    * at any cursor position the WHOLE word becomes `[UNK]` — exactly the
+    * BERT tokenizer's WordpieceTokenizer semantics. */
+  def wordpieceWord(vocab: String => Boolean, w: String): List[String] = {
+    val n = w.length
+    var start = 0
+    var out = List.empty[String]
+    while (start < n) {
+      var end = n
+      var hit: String = null
+      while (hit == null && end > start) {
+        val cand =
+          if (start > 0) "##" + w.substring(start, end) else w.substring(start, end)
+        if (vocab(cand)) hit = cand else end -= 1
+      }
+      if (hit == null) return List(WordpieceUnk) // dead end: whole word is [UNK]
+      out = hit :: out
+      start = end
+    }
+    out.reverse
+  }
+
+  /** WordPiece over a whole string: word-tokenize, then piece each word. */
+  def wordpieceTokens(vocab: Set[String], s: String): Seq[String] =
+    wordTokens(s).flatMap(w => wordpieceWord(vocab, w))
+
+  /** Column twin of `wordpieceTokens`, pluggable wherever
+    * `subwordTokensCol` plugs (the index/pipeline `tokenizer` slot). The
+    * vocab is a SparkContext broadcast — fetched once per executor JVM,
+    * exactly how the trie linker ships its dictionary. A greedy match
+    * against an arbitrary 30k-entry vocab is inherently data-dependent, so
+    * this is a (deterministic, JVM-side) Scala UDF rather than a closed
+    * Column form — it stays inside the JVM codegen pipeline, unlike a
+    * Python UDF. */
+  def wordpieceTokensCol(vocab: org.apache.spark.broadcast.Broadcast[Set[String]])
+                        (c: Column): Column = {
+    val fn = udf { s: String =>
+      if (s == null) Seq.empty[String] else wordpieceTokens(vocab.value, s)
+    }
+    fn(c)
+  }
+
+  // -------------------------------------------------------------------------
   // Similarity primitives (scorer building blocks; nes_map.py:73-77)
   // -------------------------------------------------------------------------
 

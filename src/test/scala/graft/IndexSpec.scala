@@ -91,6 +91,26 @@ class IndexSpec extends SparkSuite {
       Seq("card", "##iomy", "##opat", "##hy"))
   }
 
+  test("wordpiece postings: Column tokenizer over a broadcast vocab equals the plain-Scala kernel") {
+    import graft.functions.text
+    val vocab = Set("card", "##iomy", "##opathy", "##opat", "##hy", "##iome",
+      "##galy", "acute")
+    val cls = Seq((1L, Seq("cardiomyopathy", "acute")), (2L, Seq("cardiomegaly")))
+      .toDF("cid", "labels")
+    val bc = spark.sparkContext.broadcast(vocab)
+    val got = index.postings(cls, "cid", "labels", 0, c => text.wordpieceTokensCol(bc)(c))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // plain-Scala twin as the oracle
+    assert(got(1L) ==
+      (text.wordpieceTokens(vocab, "cardiomyopathy") ++
+        text.wordpieceTokens(vocab, "acute")).toSet)
+    // greedy prefers the longer '##opathy' over '##opat' + '##hy'
+    assert(got(1L).contains("##opathy") && !got(1L).contains("##opat"))
+    // morphological variants share the head piece 'card' in the index
+    assert(got(2L) == Set("card", "##iome", "##galy"))
+    assert(got(1L).intersect(got(2L)) == Set("card"))
+  }
+
   test("fixed-point variant agrees with double variant on ranking") {
     val posting = index.postings(classes, "cid", "labels")
     val q = Seq((1L, "heart"), (1L, "failure"), (1L, "renal"))

@@ -25,6 +25,23 @@ class TextSpec extends AnyFunSuite {
     assert(text.subwordTokens("ab cd") == Seq("ab", "cd"))
   }
 
+  test("wordpiece: greedy longest-match with ## continuations, [UNK] on dead end") {
+    val vocab = Set("un", "##aff", "##able", "aff", "hyper", "##ther", "##mia",
+      "custom", "cust", "##er", "##omer", "s", "slo", "##low")
+    // the classic BERT example
+    assert(text.wordpieceWord(vocab, "unaffable") == List("un", "##aff", "##able"))
+    // longest prefix wins even when a shorter decomposition also exists
+    assert(text.wordpieceWord(vocab, "customer") == List("custom", "##er"))
+    // NO backtracking: 'slow' -> greedy 'slo' then no '##w' -> whole word
+    // [UNK], even though 's' + '##low' would have covered it
+    assert(text.wordpieceWord(vocab, "slow") == List(text.WordpieceUnk))
+    // no piece at position 0 at all
+    assert(text.wordpieceWord(vocab, "xyz") == List(text.WordpieceUnk))
+    // whole string: word-tokenize then piece each word
+    assert(text.wordpieceTokens(vocab, "Unaffable customer, xyz!") ==
+      Seq("un", "##aff", "##able", "custom", "##er", "[UNK]"))
+  }
+
   test("levenshtein matches known distances") {
     assert(text.levenshtein("kitten", "sitting") == 3)
     assert(text.levenshtein("", "abc") == 3)
