@@ -376,6 +376,12 @@ object SparkEntry {
     }),
 
     // --- text analysis -------------------------------------------------------
+    // --- seeded k-means centroid fit (the IVF trainer): content-keyed
+    // init, 2 fixed Lloyd rounds, all-integer update arithmetic ----------
+    "q55_kmeans_fit" -> ((s, dir) =>
+      similarity.kmeansFit(t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", 4, 2)),
+
     "q28_lang_quality" -> ((s, dir) => {
       val toks = text.wordTokensCol(col("text"))
       def hits(words: Seq[String]): Column =
@@ -438,6 +444,27 @@ object SparkEntry {
         "doc_id", "payload")),
 
     // --- event-time windowed agg (streaming-shaped, batch-checked) ----------
+    // --- real container-header decode round trip: payloads are BUILT from
+    // doc_id-derived fields (the batched "encode" hop), then headerMeta
+    // PARSES the bytes back; the oracle recomputes the fields from doc_id
+    // directly — any endianness/offset bug in builder or parser mismatches
+    "q56_media_header" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").filter(col("doc_id") < 256)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val p = (id % 4) match {
+            case 0 => multimodal.pngBytes((16 + id % 1000).toInt, (9 + id % 500).toInt)
+            case 1 => multimodal.jpegBytes((32 + id % 800).toInt, (24 + id % 600).toInt, 3)
+            case 2 => multimodal.gifBytes((8 + id % 300).toInt, (6 + id % 200).toInt)
+            case _ => multimodal.wavBytes((1 + id % 2).toInt, (8000 * (1 + id % 3)).toInt)
+          }
+          (id, p)
+        }).toDF("doc_id", "payload")
+      multimodal.headerMeta(s, payloads, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q34_sessionize" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
@@ -1225,6 +1252,69 @@ object SparkEntry {
            |  SELECT doc_id AS class_id, unnest($sub) AS token
            |  FROM documents WHERE doc_id < 100)
            |WHERE length(token) > 0""".stripMargin
+      },
+
+      "q56_media_header" -> {
+        // the independent formula side of the round trip: what the parsed
+        // header MUST say, derived from doc_id without touching any bytes
+        """SELECT doc_id,
+          |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+          |       WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1000
+          |       WHEN 1 THEN 32 + doc_id % 800
+          |       WHEN 2 THEN 8 + doc_id % 300 ELSE 0 END AS INT) AS width,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 9 + doc_id % 500
+          |       WHEN 1 THEN 24 + doc_id % 600
+          |       WHEN 2 THEN 6 + doc_id % 200 ELSE 0 END AS INT) AS height,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+          |       WHEN 2 THEN 0 ELSE 1 + doc_id % 2 END AS INT) AS channels,
+          |  CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 * (1 + doc_id % 3)
+          |       ELSE 0 END AS INT) AS sample_rate
+          |FROM documents WHERE doc_id < 256""".stripMargin
+      },
+
+      "q55_kmeans_fit" -> {
+        // the fixed 2-iteration Lloyd loop unrolled (the q39 pattern):
+        // fixed-point vectors, cosine assignment with cell-asc tie-break,
+        // integer mean update (BIGINT sum, truncating //), empty cells
+        // keep the previous centroid
+        val xd = (c: String) => s"list_transform($c, e -> CAST(e AS DOUBLE))"
+        val cos = (a: String, b: String) => {
+          val den = s"(sqrt(list_dot_product(${xd(a)}, ${xd(a)})) * " +
+            s"sqrt(list_dot_product(${xd(b)}, ${xd(b)})))"
+          s"(CASE WHEN $den = 0 THEN 0.0 ELSE " +
+            s"list_dot_product(${xd(a)}, ${xd(b)}) / $den END)"
+        }
+        def round(i: Int, prevC: String) =
+          s"""a$i AS (
+             |  SELECT id, v, cell FROM (
+             |    SELECT x.id, x.v, i.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY x.id
+             |        ORDER BY ${cos("x.v", "i.c")} DESC, i.cell ASC) AS rk
+             |    FROM vec x CROSS JOIN $prevC i) t WHERE rk = 1),
+             |u$i AS (
+             |  SELECT a.cell, s.p AS pos,
+             |    CAST(SUM(a.v[s.p]) AS BIGINT) // COUNT(*) AS cv,
+             |    COUNT(*) AS cnt
+             |  FROM a$i a, unnest(generate_series(1, len(a.v))) AS s(p)
+             |  GROUP BY 1, 2),
+             |c${i}n AS (SELECT cell, list(cv ORDER BY pos) AS c, MAX(cnt) AS n
+             |           FROM u$i GROUP BY cell),
+             |c$i AS (SELECT p.cell, COALESCE(n.c, p.c) AS c
+             |        FROM $prevC p LEFT JOIN c${i}n n USING (cell))""".stripMargin
+        s"""WITH vec AS (
+           |  SELECT CAST(vec_id AS VARCHAR) AS id,
+           |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+           |  FROM embeddings WHERE vec_id < 200),
+           |init AS (
+           |  SELECT CAST(rn AS INT) AS cell, v AS c FROM (
+           |    SELECT v, ROW_NUMBER() OVER (ORDER BY md5(id), id) AS rn FROM vec) t
+           |  WHERE rn <= 4),
+           |${round(1, "init")},
+           |${round(2, "c1")}
+           |SELECT p.cell, COALESCE(n.n, CAST(0 AS BIGINT)) AS n_assigned,
+           |  COALESCE(n.c, p.c) AS centroid
+           |FROM c1 p LEFT JOIN c2n n USING (cell)""".stripMargin
       },
 
       "q54_wordpiece_postings" -> {

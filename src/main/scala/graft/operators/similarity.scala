@@ -65,12 +65,99 @@ object similarity {
       .select("id", "v", "cell")
   }
 
+  // -------------------------------------------------------------------------
+  // Seeded k-means centroid fit — makes IVF self-contained at scale
+  // -------------------------------------------------------------------------
+
+  /** Fixed-point projection of a float vector: floor(x·10^6) per element.
+    * All k-means arithmetic below is integer (BIGINT sums, truncating
+    * division), so the fit is bit-identical at any partitioning AND across
+    * engines (a float mean's summation order is partition-dependent; an
+    * integer sum is associative). Cosine over a uniformly scaled vector
+    * equals cosine over the original up to the 10^-6 quantization. */
+  def toFixedPoint(c: Column, scale: Long = 1000000L): Column =
+    transform(c, x => floor(x.cast("double") * scale).cast("long"))
+
+  private def cosFixed(a: Column, b: Column): Column = {
+    val ad = toDoubleArray(a)
+    val bd = toDoubleArray(b)
+    val den = normCol(ad) * normCol(bd)
+    when(den === 0.0, lit(0.0)).otherwise(dotCol(ad, bd) / den)
+  }
+
+  /**
+   * Deterministic Lloyd's k-means over an embedding column, the centroid
+   * *fit* feeding `ivfTopK`:
+   *
+   *   - init: the k vectors with smallest md5(id) — content-keyed, so the
+   *     seeds are a property of the data, not of partitioning; computed as
+   *     a distributed top-k (TakeOrdered), never a global sort;
+   *   - exactly `iters` assign/update rounds (no convergence test — a
+   *     fixed iteration count is what makes the oracle's unrolled-SQL twin
+   *     and cross-run determinism possible, the q39 pattern);
+   *   - assignment broadcasts the k-row centroid table and breaks cosine
+   *     ties on cell ascending; update is an integer mean per (cell,
+   *     element) — BIGINT sum, truncating div — reassembled in element
+   *     order; empty cells keep their previous centroid.
+   *
+   * Returns (cell: int, n_assigned: long, centroid: array<bigint>) in the
+   * 10^6 fixed-point domain; `fitCentroidsForIvf` converts for `ivfTopK`.
+   * At 100 TB, fit on a deterministic sample (filter on pmod(md5(id), N))
+   * — the plan is unchanged, only the input shrinks; each iteration is one
+   * broadcast-join pass + one (cell, pos)-keyed agg, k·dim rows of state.
+   */
+  def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val v = vectors
+      .select(col(idCol).cast("string").as("id"), toFixedPoint(col(vecCol)).as("v"))
+    // distributed top-k by content hash; the k-row window that numbers the
+    // cells runs on k rows only (bounded — not a global window over the data)
+    val wInit = Window.orderBy(col("h"), col("id"))
+    var cen = v.select(md5(col("id")).as("h"), col("id"), col("v"))
+      .orderBy(col("h"), col("id")).limit(k)
+      .withColumn("cell", row_number().over(wInit).cast("int"))
+      .select(col("cell"), col("v").as("c"), lit(0L).as("n_assigned"))
+    val wA = Window.partitionBy("id").orderBy(col("sim").desc, col("cell").asc)
+    var it = 0
+    while (it < iters) {
+      val assigned = v.crossJoin(broadcast(cen.select(col("cell"), col("c"))))
+        .withColumn("sim", cosFixed(col("v"), col("c")))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select("cell", "v")
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("s div n"))
+      val newC = sums.groupBy("cell").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("c"),
+        max(col("n")).as("n_assigned"))
+      // k·dim rows of state per round: materialize to keep the loop's plan
+      // flat (the q39/hierarchy iterative contract)
+      cen = graft.plans.stage.materialize(
+        cen.select(col("cell"), col("c").as("c_prev"))
+          .join(newC, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("c"), col("c_prev")).as("c"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned")))
+      it += 1
+    }
+    cen.select(col("cell"), col("n_assigned"), col("c").as("centroid"))
+  }
+
+  /** Fitted fixed-point centroids → the (cell, cvec: array<double>) shape
+    * `ivfTopK`/`assignCells` consume. */
+  def fitCentroidsForIvf(fit: DataFrame): DataFrame =
+    fit.select(col("cell"),
+      transform(col("centroid"), x => x.cast("double") / 1000000.0).as("cvec"))
+
   /**
    * IVF top-k: probe the `nProbe` nearest cells per query, brute-force only
-   * inside them. Deterministic "training-free" centroids: callers pass any
-   * deterministic centroid table (e.g., every Cth vector by id) — at 100 TB
-   * this would be a k-means fit on a sample, which only changes the
-   * centroid table, not this plan.
+   * inside them. Deterministic centroids: pass `fitCentroidsForIvf(
+   * kmeansFit(...))`, or any deterministic centroid table (e.g., every Cth
+   * vector by id) — the centroid table is an input, not part of this plan.
    */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {

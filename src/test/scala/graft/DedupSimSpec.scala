@@ -122,4 +122,38 @@ class DedupSimSpec extends SparkSuite {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("kmeansFit: separates clean clusters and is partition-invariant") {
+    // two tight clusters on orthogonal axes; k=2, any sane fit splits them
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(0.98f, 0.02f)), (3L, Seq(0.99f, 0.0f)),
+      (4L, Seq(0.01f, 1.0f)), (5L, Seq(0.02f, 0.97f)), (6L, Seq(0.0f, 0.99f)))
+      .toDF("vid", "vec")
+    def run(parts: Int) =
+      similarity.kmeansFit(vecs.repartition(parts), "vid", "vec", 2, 3)
+        .select("cell", "n_assigned", "centroid")
+        .as[(Int, Long, Seq[Long])].collect().sortBy(_._1).toList
+    val a = run(1)
+    val b = run(5)
+    assert(a == b, s"fit is partition-dependent:\n$a\n$b")
+    assert(a.map(_._2).sorted == List(3L, 3L)) // 3 vectors per cluster
+    // each centroid is dominated by one axis (fixed-point 1e6 domain)
+    val doms = a.map(_._3).map(c => c.indexOf(c.max)).toSet
+    assert(doms == Set(0, 1))
+  }
+
+  test("kmeansFit centroids feed ivfTopK (self-contained IVF)") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)), (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.05f, 0.95f)), (6L, Seq(0.1f, 0.9f)))
+      .toDF("vid", "vec")
+    val cen = similarity.fitCentroidsForIvf(
+      similarity.kmeansFit(vecs, "vid", "vec", 2, 2))
+    val q = vecs.filter($"vid" === 1L)
+    val ivf = similarity.ivfTopK(q, vecs, cen, "vid", "vec", 2, 1)
+      .select("cand_id").as[Long].collect().toSet
+    val bf = similarity.bruteForceTopK(q, vecs, "vid", "vec", 2)
+      .select("cand_id").as[Long].collect().toSet
+    assert(ivf == bf) // clean clusters: 1-probe IVF agrees with brute force
+  }
 }

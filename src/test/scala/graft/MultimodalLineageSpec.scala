@@ -28,6 +28,48 @@ class MultimodalLineageSpec extends SparkSuite {
     assert(r.getSeq[Float](2).toList == again.getSeq[Float](2).toList)
   }
 
+  test("parseHeader: real byte fixtures for all four containers") {
+    import multimodal.{parseHeader, MediaHeader}
+    assert(parseHeader(multimodal.pngBytes(640, 480)) ==
+      MediaHeader("png", 640, 480, 3, 0))
+    assert(parseHeader(multimodal.pngBytes(70000, 2, colorType = 6)) ==
+      MediaHeader("png", 70000, 2, 4, 0)) // >16-bit width exercises BE32
+    assert(parseHeader(multimodal.jpegBytes(1920, 1080, 3)) ==
+      MediaHeader("jpeg", 1920, 1080, 3, 0))
+    assert(parseHeader(multimodal.jpegBytes(12, 34, 1)) ==
+      MediaHeader("jpeg", 12, 34, 1, 0)) // grayscale SOF component count
+    assert(parseHeader(multimodal.gifBytes(320, 200)) ==
+      MediaHeader("gif", 320, 200, 0, 0))
+    assert(parseHeader(multimodal.wavBytes(2, 44100)) ==
+      MediaHeader("wav", 0, 0, 2, 44100))
+  }
+
+  test("parseHeader: garbage, truncation and null degrade to unknown, never throw") {
+    import multimodal.parseHeader
+    assert(parseHeader(null).format == "unknown")
+    assert(parseHeader(Array.emptyByteArray).format == "unknown")
+    assert(parseHeader("not a media file at all".getBytes("UTF-8")).format == "unknown")
+    // truncated after the magic: bounds checks must hold
+    assert(parseHeader(multimodal.pngBytes(10, 10).take(14)).format == "unknown")
+    assert(parseHeader(multimodal.jpegBytes(10, 10).take(5)).format == "unknown")
+    // JPEG with EOI before any SOF carries no dimensions
+    assert(parseHeader(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).format == "unknown")
+  }
+
+  test("headerMeta: typed mapPartitions parse over a binary column") {
+    val df = Seq(
+      (1L, multimodal.pngBytes(100, 50)),
+      (2L, multimodal.wavBytes(1, 16000)),
+      (3L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = multimodal.headerMeta(spark, df, "id", "payload")
+      .as[(Long, String, Int, Int, Int, Int)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, "png", 100, 50, 3, 0),
+      (2L, "wav", 0, 0, 1, 16000),
+      (3L, "unknown", 0, 0, 0, 0)))
+  }
+
   test("lineage stage: builds once, resumes from manifest, rebuilds on new fingerprint") {
     val dir = Files.createTempDirectory("graft-lineage").toString
     var builds = 0
