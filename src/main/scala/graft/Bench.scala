@@ -126,15 +126,21 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One full KG-construction run reading the materialized fixture. */
-  def runPipeline(spark: SparkSession, dir: String): PipeRun = {
+  /** One full KG-construction run reading the materialized fixture.
+    * `linker` selects the mention-detect kernel: "trie" (collected
+    * broadcast trie — the small-catalog fast path) or "join" (distributed
+    * n-gram dictionary join — the no-collect path that runs when the
+    * catalog exceeds maxDictEntities at 100× scale). */
+  def runPipeline(spark: SparkSession, dir: String,
+                  linker: String = "trie"): PipeRun = {
     import spark.implicits._
     import graft.model._
     val turns = spark.read.parquet(s"$dir/transcripts").as[Turn]
     val classes = spark.read.parquet(s"$dir/classes").as[ClassText]
     val edges = spark.read.parquet(s"$dir/edges").as[Edge]
     val t0 = System.nanoTime()
-    val (_, triples) = Pipeline.run(spark, turns, classes, edges)
+    val (_, triples) = Pipeline.run(spark, turns, classes, edges,
+      Pipeline.Params(linker = linker))
     val nTriples = triples.count()
     val dt = (System.nanoTime() - t0) / 1e9
     PipeRun(dt, turns.count(), nTriples)
@@ -242,15 +248,73 @@ object Bench {
       val sh = forkOne(scaleHigh, scaleDir, 1, "scan")
       Block(cl, ch, pl, ph, sl, sh)
     }
+    // --- 100x fallback paths, measured (they are what actually runs at
+    // scale): (a) the join-based mention linker — the no-collect kernel
+    // that replaces the broadcast trie once the catalog exceeds
+    // maxDictEntities — as its own (N, 4N) scaling pair on the SAME
+    // fixture, with one trie sample adjacent to the join-high run so the
+    // join-vs-trie ratio is a same-window comparison, not cross-weather
+    val jlL = forkOne(scaleLow, scaleDir, 1, "pipejoin")
+    val jlH = forkOne(scaleHigh, scaleDir, 2, "pipejoin")
+    val trieAdj = forkOne(scaleHigh, scaleDir, 1)
+    val jlEff = (jlL.seconds / jlH.seconds) / 4.0
+    val jlVsTrie = jlH.seconds / trieAdj.seconds
     // headline throughput at full width on the big fixture
     val full = forkOne(cpus, fixtureDir, 2)
     val sHigh = session(cpus)
+
+    // (b) the salted candidate join on a deliberately skewed catalog: one
+    // token in 50% of docs, shuffle-join regime (auto-broadcast OFF — the
+    // posting side of a 100x catalog does not fit an executor). Unsalted,
+    // the token-keyed join lands the hot token's |queries| x df fan-out on
+    // ONE reducer; saltBuckets=8 spreads it. Run interleaved twice, min per
+    // arm — same-window protocol as everything else.
+    val saltProbe: (Double, Double, List[Double], List[Double]) = {
+      import org.apache.spark.sql.functions._
+      val nDocs = 40000L
+      val nQ = 2000L
+      val posting = sHigh.range(nDocs).select(
+        col("id").cast("string").as("class_id"),
+        explode(array(
+          when(pmod(col("id"), lit(2L)) === 0L, lit("hot"))
+            .otherwise(concat(lit("c"), pmod(col("id"), lit(97L)))),
+          concat(lit("t"), pmod(col("id"), lit(997L))))).as("token"))
+      val q = sHigh.range(nQ).select(
+        col("id").cast("string").as("query_id"),
+        explode(array(
+          lit("hot"),
+          concat(lit("t"), pmod(col("id"), lit(997L))))).as("token"))
+      val savedAuto = sHigh.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      sHigh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sHigh.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        def runArm(buckets: Int): Double = {
+          val t0 = System.nanoTime()
+          graft.operators.index.idfCandidates(q, posting, nDocs, 10,
+            saltBuckets = buckets,
+            widthHint = sHigh.sparkContext.defaultParallelism).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runArm(1) // JIT/codegen warm (both arms share the join template)
+        val samples = (1 to 2).map(_ => (runArm(1), runArm(8)))
+        (samples.map(_._1).min, samples.map(_._2).min,
+          samples.map(_._1).toList, samples.map(_._2).toList)
+      } finally {
+        sHigh.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+        sHigh.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    val (saltU, saltS, saltUs, saltSs) = saltProbe
     val best = blocks.minBy(_.combined)
     val (pl, ph) = (best.pipeL, best.pipeH)
     val eff = best.pipeEff
     // the pipeline judged against ITS OWN WINDOW's physical ceiling: the
     // cpu probe ran minutes, not tens of minutes, from the pair it certifies
     val effVsCpu = eff / best.cpuEff
+    // a >1.0 raw efficiency is physically a noise artifact of the low-core
+    // sample, never a real property — report a capped twin alongside the
+    // raw value so no artifact quotes a super-unitary efficiency as fact
+    val effCapped = math.min(1.0, eff)
     val (cpl, cph, cpuEff) = (best.cpuL, best.cpuH, best.cpuEff)
     val (spl, sph, scanEff) = (best.scanL.seconds, best.scanH.seconds, best.scanEff)
 
@@ -297,19 +361,23 @@ object Bench {
       f"""{"pipe_low":${b.pipeL.seconds}%.3f,"pipe_high":${b.pipeH.seconds}%.3f,"pipe_eff":${b.pipeEff}%.3f,"cpu_eff":${b.cpuEff}%.3f,"scan_eff":${b.scanEff}%.3f}"""
     }.mkString("[", ",", "]")
     val scalingJson =
-      f""""scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"convs":$scaleConvs,"turns":${ph.turns},"sec_low":${pl.seconds}%.3f,"sec_high":${ph.seconds}%.3f,"samples_low":${samplesJson(_.pipeL.seconds)},"samples_high":${samplesJson(_.pipeH.seconds)},"turns_per_sec_low":${pl.turnsPerSec}%.1f,"turns_per_sec_high":${ph.turnsPerSec}%.1f,"scaling_efficiency":$eff%.3f,"eff_vs_cpu_ceiling":$effVsCpu%.3f,"stage_low":${pl.stageJson},"stage_high":${ph.stageJson}},"cpu_probe":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"sec_low":$cpl%.3f,"sec_high":$cph%.3f,"samples_low":${samplesJson(_.cpuL)},"samples_high":${samplesJson(_.cpuH)},"efficiency":$cpuEff%.3f},"scan_probe":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"sec_low":$spl%.3f,"sec_high":$sph%.3f,"samples_low":${samplesJson(_.scanL.seconds)},"samples_high":${samplesJson(_.scanH.seconds)},"efficiency":$scanEff%.3f,"stage_low":${best.scanL.stageJson},"stage_high":${best.scanH.stageJson}},"blocks":$blocksJson"""
+      f""""scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"convs":$scaleConvs,"turns":${ph.turns},"sec_low":${pl.seconds}%.3f,"sec_high":${ph.seconds}%.3f,"samples_low":${samplesJson(_.pipeL.seconds)},"samples_high":${samplesJson(_.pipeH.seconds)},"turns_per_sec_low":${pl.turnsPerSec}%.1f,"turns_per_sec_high":${ph.turnsPerSec}%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_capped":$effCapped%.3f,"eff_vs_cpu_ceiling":$effVsCpu%.3f,"stage_low":${pl.stageJson},"stage_high":${ph.stageJson}},"cpu_probe":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"sec_low":$cpl%.3f,"sec_high":$cph%.3f,"samples_low":${samplesJson(_.cpuL)},"samples_high":${samplesJson(_.cpuH)},"efficiency":$cpuEff%.3f},"scan_probe":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"sec_low":$spl%.3f,"sec_high":$sph%.3f,"samples_low":${samplesJson(_.scanL.seconds)},"samples_high":${samplesJson(_.scanH.seconds)},"efficiency":$scanEff%.3f,"stage_low":${best.scanL.stageJson},"stage_high":${best.scanH.stageJson}},"blocks":$blocksJson"""
     val pipelineJson =
       f""""pipeline":{"turns":${full.turns},"triples":${full.triples},"cores":$cpus,"sec":${full.seconds}%.3f,"turns_per_sec":${full.turnsPerSec}%.1f,"triples_per_sec":${full.triplesPerSec}%.1f,"stage":${full.stageJson}}"""
+    def listJson(xs: List[Double]): String =
+      xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val fallbackJson =
+      f""""fallback":{"join_linker":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"turns":${jlH.turns},"sec_low":${jlL.seconds}%.3f,"sec_high":${jlH.seconds}%.3f,"scaling_efficiency":$jlEff%.3f,"sec_trie_adjacent_high":${trieAdj.seconds}%.3f,"vs_trie":$jlVsTrie%.2f,"stage_low":${jlL.stageJson},"stage_high":${jlH.stageJson}},"salt_probe":{"docs":40000,"hot_df":20000,"queries":2000,"sec_unsalted":$saltU%.3f,"sec_salted":$saltS%.3f,"speedup":${saltU / saltS}%.2f,"samples_unsalted":${listJson(saltUs)},"samples_salted":${listJson(saltSs)}}}"""
 
     // full line: everything, including the 51-entry per-query map
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","bench_convs":$nConvs,$pipelineJson,$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","bench_convs":$nConvs,$pipelineJson,$scalingJson,$fallbackJson}""")
     // compact line LAST: the driver captures a bounded tail of stdout and
     // the full line has outgrown it two rounds running (parsed: null) —
     // gate-relevant numbers only (no per-query map, no sample arrays),
     // sized to always fit the tail
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"pipeline_e2e":${full.seconds}%.3f},"n_queries":${results.size},"q23_adjacent":$q23Json,"failed_queries":$failedJson,"sf":"$sfDir","bench_convs":$nConvs,"pipeline":{"turns":${full.turns},"triples":${full.triples},"cores":$cpus,"sec":${full.seconds}%.3f,"turns_per_sec":${full.turnsPerSec}%.1f,"triples_per_sec":${full.triplesPerSec}%.1f},"scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"turns":${ph.turns},"sec_low":${pl.seconds}%.3f,"sec_high":${ph.seconds}%.3f,"scaling_efficiency":$eff%.3f,"eff_vs_cpu_ceiling":$effVsCpu%.3f,"stage_low":${pl.stageJson},"stage_high":${ph.stageJson}},"cpu_probe_eff":$cpuEff%.3f,"scan_probe_eff":$scanEff%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"pipeline_e2e":${full.seconds}%.3f},"n_queries":${results.size},"q23_adjacent":$q23Json,"failed_queries":$failedJson,"sf":"$sfDir","bench_convs":$nConvs,"pipeline":{"turns":${full.turns},"triples":${full.triples},"cores":$cpus,"sec":${full.seconds}%.3f,"turns_per_sec":${full.turnsPerSec}%.1f,"triples_per_sec":${full.triplesPerSec}%.1f},"scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"turns":${ph.turns},"sec_low":${pl.seconds}%.3f,"sec_high":${ph.seconds}%.3f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_capped":$effCapped%.3f,"eff_vs_cpu_ceiling":$effVsCpu%.3f,"stage_low":${pl.stageJson},"stage_high":${ph.stageJson}},"cpu_probe_eff":$cpuEff%.3f,"scan_probe_eff":$scanEff%.3f,"fallback":{"join_linker_eff":$jlEff%.3f,"join_vs_trie":$jlVsTrie%.2f,"salt_speedup":${saltU / saltS}%.2f}}""")
     sHigh.stop()
   }
 }

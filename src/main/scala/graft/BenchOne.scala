@@ -14,6 +14,9 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * Modes (arg 5, default "pipe"):
   *   pipe — full KG-construction pipeline on the fixture
+  *   pipejoin — same pipeline with linker=join (the distributed n-gram
+  *          dictionary-join mention linker — the path that runs when the
+  *          catalog exceeds maxDictEntities, i.e. the 100x-scale fallback)
   *   scan — transcript scan + decode + length aggregation only: measures
   *          the I/O + decompression ceiling of this box, i.e. the upper
   *          bound any scan-dominated job can scale to. The pipeline's
@@ -77,8 +80,10 @@ object BenchOne {
         val (r, c, g) = best._2
         println(f"BENCHONE $cpus $sec $n 0 $r%.2f $c%.2f $g%.2f")
       case _ =>
-        Bench.runPipeline(spark, warmDir) // JIT/codegen warmup
-        val runs = (1 to reps).map(_ => metered(Bench.runPipeline(spark, fixtureDir)))
+        val linker = if (mode == "pipejoin") "join" else "trie"
+        Bench.runPipeline(spark, warmDir, linker) // JIT/codegen warmup
+        val runs = (1 to reps).map(_ =>
+          metered(Bench.runPipeline(spark, fixtureDir, linker)))
         val best = runs.minBy(_._1.seconds)
         val p = best._1
         val (r, c, g) = best._2

@@ -122,6 +122,50 @@ object PlanCheck {
       plan
     }
 
+    // 10. detectJoin (the 100x no-collect linker) keeps its shape: the
+    // first-token prefilter and the key join stay broadcast joins for a
+    // catalog-sized dict (no transcript-side shuffle before the greedy
+    // kernel), and the per-turn greedy resolution is a FlatMapGroups over
+    // ONE exchange keyed by the turn — the narrow post-reduction dict join
+    // happens after it. A refactor that reintroduced the entity fan-out
+    // before the exchange would pass correctness and silently triple the
+    // dominant shuffle's width (measured 843 MB -> 690 MB on the 12M-turn
+    // fixture when the fan-out moved behind the kernel).
+    check("detectJoin: broadcast prefilter + narrow greedy exchange",
+      wanted = Seq("BroadcastHashJoin", "MapGroups")) {
+      import graft.model._
+      graft.operators.mentions.detectJoin(spark,
+        graft.sources.fixtures.transcripts(spark, graft.sources.fixtures.tiny),
+        graft.sources.fixtures.classes(spark, graft.sources.fixtures.tiny)
+          .filter(_.onto == "src")).toDF()
+    }
+
+    // 11. salted candidate join: with the posting side too big to
+    // broadcast (stats off = the 100x regime), saltBuckets > 1 must key
+    // the JOIN itself on (token, salt) — spreading a hot token's fan-out
+    // across salt buckets — not just pre-aggregate after it
+    {
+      import graft.operators.index
+      val posting = index.postingsFromText(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      val q = posting.limit(50).select(col("class_id").as("query_id"), col("token"))
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        check("salted candidates: join keyed on (token, salt) in shuffle regime",
+          wanted = Seq("salt"), unwanted = Seq("BroadcastHashJoin")) {
+          val df = index.idfCandidates(q, posting, 500, 5, saltBuckets = 8)
+          val joinKeys = df.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              j.condition.map(_.references.map(_.name).toSeq.sorted).getOrElse(Nil)
+          }
+          require(joinKeys.exists(_.contains("salt")),
+            s"no join keyed on salt in $joinKeys — the salt no longer spreads the join")
+          df
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
     // 8. Main-path: the observe() turns metric (CollectMetrics) must not
     // block the same pruning — the transcript scan under spark-submit reads
     // only (conv_id, turn_idx, text) even with the metric attached

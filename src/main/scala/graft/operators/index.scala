@@ -72,8 +72,17 @@ object index {
    * @param maxDfFrac    drop tokens with df > maxDfFrac*D (stop-token cap;
    *                     bounds the skewed fan-out of hot surface forms —
    *                     pass 1.0 to disable and match the reference exactly)
-   * @param saltBuckets  >1 adds a salt to pre-aggregate the skewed
-   *                     (query,candidate) partial sums in two levels
+   * @param saltBuckets  >1 salts the token JOIN itself (classic skew-join
+   *                     replication): the posting side gets a content salt
+   *                     hash(class_id) % B, the query side replicates each
+   *                     row across all B salts, and the join keys on
+   *                     (token, salt) — so a hot surface-form token's
+   *                     |queries| × df fan-out lands on B reducers instead
+   *                     of one. Costs B× the (tiny) query-token volume;
+   *                     the fan-out output volume is unchanged. Use in the
+   *                     non-broadcast regime (posting side too big to
+   *                     broadcast) where the token-keyed shuffle join
+   *                     otherwise serializes on hot tokens
    * @param broadcastPostings Some(true) forces the broadcast hint (caller
    *                     knows the postings are catalog-sized), Some(false)/
    *                     None leaves the join strategy to Catalyst/AQE's
@@ -88,9 +97,10 @@ object index {
    *                     coalescing the CPU-dense candidate chain to one
    *                     task; leave 0 at transcript scale to keep the
    *                     map-side partial aggregation ahead of the shuffle.
-   *                     Ignored when saltBuckets > 1 (the salt spreads hot
-   *                     tokens across reducers; a query_id repartition
-   *                     would defeat it).
+   *                     With saltBuckets > 1 the pin moves to the
+   *                     (token, salt) join keys instead — see the salted
+   *                     branch: without it AQE coalesces the salted
+   *                     partitions back onto one task and undoes the salt.
    *
    * Tie-break: the reference inherits Python's stable sort over insertion
    * order (onto_box.py:87-89); we pin (score desc, class_id asc) explicitly
@@ -129,24 +139,40 @@ object index {
     val pIn = if (widthHint > 0 && !broadcastPostings.contains(true))
       tokenIdf.repartition(widthHint, col("token"))
     else tokenIdf
-    val joined = qIn
-      .join(if (broadcastPostings.contains(true)) broadcast(pIn) else pIn,
-        "token")
+    val joined =
+      if (saltBuckets <= 1)
+        qIn.join(if (broadcastPostings.contains(true)) broadcast(pIn) else pIn,
+          "token")
+      else {
+        // skew-join salting: every (query, token) row meets each posting
+        // row exactly once — the posting's salt is a pure function of
+        // class_id and the query side carries every salt value — so the
+        // result multiset is identical to the unsalted join (pinned by
+        // IndexSpec salted ≡ unsalted); only the partitioning of the
+        // fan-out work changes. The (token, salt) exchanges are pinned at
+        // widthHint explicitly: the fan-out join's INPUT is KB-to-MB while
+        // its OUTPUT is the quadratic pair explosion, and AQE's byte-based
+        // coalescing would otherwise collapse the salted partitions back
+        // onto one task, silently undoing the salt (measured on the
+        // 50%-hot-token probe: 1 task, 43 s, 290 MB written — identical to
+        // unsalted; pinned: the fan-out runs widthHint wide).
+        val pSalted0 = tokenIdf.withColumn("salt",
+          pmod(hash(col("class_id")), lit(saltBuckets)))
+        val qSalted0 = queryTokens.select(col("query_id"), col("token"))
+          .withColumn("salt",
+            explode(array((0 until saltBuckets).map(lit): _*)))
+        val (qS, pS) =
+          if (widthHint > 0 && !broadcastPostings.contains(true))
+            (qSalted0.repartition(widthHint, col("token"), col("salt")),
+              pSalted0.repartition(widthHint, col("token"), col("salt")))
+          else (qSalted0, pSalted0)
+        qS.join(
+          if (broadcastPostings.contains(true)) broadcast(pS) else pS,
+          Seq("token", "salt")).drop("salt")
+      }
 
     val summed =
-      if (saltBuckets <= 1) {
-        joined.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
-      } else {
-        // two-level agg: partial per (query,candidate,salt), then final.
-        // The salt derives from the *token* so a hot token's contributions
-        // spread over saltBuckets reducers before converging.
-        joined
-          .withColumn("salt", pmod(hash(col("token")), lit(saltBuckets)))
-          .groupBy("query_id", "class_id", "salt")
-          .agg(sum("idf").as("partial"))
-          .groupBy("query_id", "class_id")
-          .agg(sum("partial").as("idf_score"))
-      }
+      joined.groupBy("query_id", "class_id").agg(sum("idf").as("idf_score"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("idf_score").desc, col("class_id").asc)

@@ -244,45 +244,77 @@ object mentions {
       // DESCENDING [1, 0] (not empty), and slice(_, 0, _) throws — an
       // empty/whitespace-only turn would crash the job
       .filter(size(col("toks")) > 0)
-    // n-gram generation: explode start positions, then one row per length;
-    // slice+array_join builds the candidate key codegen-side
+    // n-gram generation: explode start positions, prefilter by FIRST
+    // token, then one row per length; slice+array_join builds the
+    // candidate key codegen-side. The first-token semi-join is the
+    // load-bearing pruning step: a match can only start at a position
+    // whose token begins some dictionary surface, and mention-bearing
+    // positions are sparse in real transcripts — without the filter every
+    // position builds effMaxWords joined strings (measured on the 12M-turn
+    // bench fixture: 416 core-s of gram building vs ~70 core-s for the
+    // whole trie kernel; the filter removes ~90% of it). The first-token
+    // dimension is distinct-token-bounded, far smaller than the dict.
+    // per-first-token max surface length: positions explode only as far as
+    // the token at that position can actually START a surface (a dict
+    // where most surfaces are single-word then builds almost no multi-word
+    // gram strings)
+    val firstToks = dict0
+      .groupBy(split(col("key"), " ").getItem(0).as("tok1"))
+      .agg(max(col("_kw")).as("maxw"))
     val grams = toks
       .select(col("conv_id"), col("turn_idx"), col("toks"),
         explode(sequence(lit(1), size(col("toks")))).as("start"))
+      .withColumn("tok1", element_at(col("toks"), col("start")))
+      .join(broadcast(firstToks), Seq("tok1"))
       .select(col("conv_id"), col("turn_idx"), col("toks"), col("start"),
         explode(sequence(lit(1),
-          least(lit(effMaxWords), size(col("toks")) - col("start") + 1))).as("len"))
+          least(least(col("maxw"), lit(effMaxWords)),
+            size(col("toks")) - col("start") + 1))).as("len"))
       .select(col("conv_id"), col("turn_idx"), col("start"), col("len"),
         array_join(slice(col("toks"), col("start"), col("len")), " ").as("key"))
-    val hits = grams.join(dict, "key")
-      .select(col("conv_id"), col("turn_idx"), col("start"), col("len"),
-        col("onto"), col("class_iri"), col("surface"))
-      .as[(String, Int, Int, Int, String, String, String)]
+    // the transcript-proportional shuffle into the greedy kernel carries
+    // only (conv, turn, start, len, key) — the entity fan-out (key → all
+    // dict entries) is DEFERRED until after greedy resolution has reduced
+    // the stream to accepted keys, so the widest exchange of this operator
+    // ships one narrow row per matched span, not one per (span × entity).
+    // The key join needs only the distinct-key dimension here; join
+    // strategy is left to size statistics in both places (small dict ⇒
+    // broadcast, huge dict ⇒ shuffle join still works).
+    val keys = dict.select("key").distinct()
+    val hits = grams.join(keys, "key")
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("len"), col("key"))
+      .as[(String, Int, Int, Int, String)]
     // greedy longest-match resolution per turn — identical to the trie
-    // walk: ascending start, longest span wins, scan resumes past it
-    hits.groupByKey(h => (h._1, h._2))
-      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Int, String, String, String)]) =>
+    // walk: ascending start, longest span wins, scan resumes past it. The
+    // key at an accepted (start, len) is unique (it IS those tokens), and
+    // a surface normalizes to exactly one key, so the per-turn distinct-key
+    // set maps 1:1 onto the trie kernel's per-turn entity-triple seen-set.
+    val accepted = hits.groupByKey(h => (h._1, h._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Int, String)]) =>
         val (convId, turnIdx) = key
         val spans = it.toArray
         val byStart = spans.groupBy(_._3)
-        var out = List.empty[Mention]
-        val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
+        var out = List.empty[(String, Int, String)]
+        val seen = scala.collection.mutable.HashSet.empty[String]
         var i = 1
         val maxStart = if (spans.isEmpty) 0 else spans.map(_._3).max
         while (i <= maxStart) {
           byStart.get(i) match {
             case Some(ms) =>
               val bestLen = ms.map(_._4).max
-              ms.filter(_._4 == bestLen).sortBy(m => (m._5, m._6, m._7)).foreach { m =>
-                val k = (m._5, m._6, m._7)
-                if (!seen.contains(k)) { seen += k; out ::= Mention(convId, turnIdx, m._5, m._6, m._7) }
-              }
+              val k = ms.find(_._4 == bestLen).get._5
+              if (seen.add(k)) out ::= (convId, turnIdx, k)
               i += bestLen
             case None => i += 1
           }
         }
         out.reverse
       }
+    accepted.toDF("conv_id", "turn_idx", "key")
+      .join(dict, "key")
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("onto"), col("class_iri"), col("surface"))
+      .as[Mention]
   }
 
   /** Transcripts → mentions. Batched mapPartitions with the BUILT trie

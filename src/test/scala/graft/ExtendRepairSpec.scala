@@ -71,4 +71,36 @@ class ExtendRepairSpec extends SparkSuite {
     val out = repair.repairMappings(m, sE, sE)
     assert(out.count() <= m.count())
   }
+
+  test("deep DAG: the reference's maxIter=50 on a 50-deep chain completes with a flat plan") {
+    // extend_bertmap.py:84 caps at 50 iterations; this drives the loop to
+    // that depth on a 50-deep parent chain where every hop is an exact
+    // label match. Without the per-iteration stage.materialize lineage cut
+    // the 50th iteration's plan would nest 50 generations of self-joins —
+    // analysis alone would take minutes and the plan tree would be
+    // thousands of nodes deep.
+    val n = 50
+    val sE = (0 until n).map(i => (s"s${i + 1}", s"s$i")).toDF("child_iri", "parent_iri")
+    val tE = (0 until n).map(i => (s"t${i + 1}", s"t$i")).toDF("child_iri", "parent_iri")
+    val sL = (0 to n).map(i => (s"s$i", s"node $i")).toDF("id", "label")
+    val tL = (0 to n).map(i => (s"t$i", s"node $i")).toDF("id", "label")
+    // seed at the TOP of both chains; each iteration descends one level
+    // (child x child of the frontier), so level i arrives at iteration i
+    val seeds = Seq(("s0", "t0", 1.0)).toDF("entity1", "entity2", "value")
+    val out = extend.extendMappings(spark, seeds, sE, tE, sL, tL,
+      kappa = 0.9, maxIter = 50)
+    val rows = out.as[(String, String, Double)].collect().toSet
+    assert(rows == (1 to n).map(i => (s"s$i", s"t$i", 1.0)).toSet)
+    // the localCheckpoint contract: the returned union reads 50 materialized
+    // leaves — its plan is LINEAR in iterations (one Union over n leaves),
+    // not exponential in self-join generations
+    val plan = out.queryExecution.optimizedPlan
+    val planLines = plan.numberedTreeString.linesIterator.size
+    assert(planLines <= 3 * n + 10,
+      s"expansion plan has $planLines nodes — lineage cut lost?")
+    val leaves = plan.collectLeaves()
+    assert(leaves.size == n && leaves.forall(
+      _.getClass.getSimpleName.contains("LogicalRDD")),
+      s"expected $n materialized LogicalRDD leaves, got ${leaves.map(_.getClass.getSimpleName).distinct}")
+  }
 }

@@ -174,6 +174,39 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(batch == rows)
   }
 
+  test("stabilizeStream: event-time timeout actually evicts idle conversation state (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.stream.StreamMention
+    val ms = MemoryStream[StreamMention]
+    // 1-second idle horizon: any conversation is evictable as soon as the
+    // 30-minute watermark passes its last event
+    val out = graft.streaming.stream.stabilizeStream(spark, ms.toDS(),
+      idleHorizonMs = 1000L)
+    val q = out.writeStream.format("memory").queryName("stab_state")
+      .outputMode("append").start()
+    def at(hour: Int, conv: String) =
+      StreamMention(conv, 0, "src", "e1", "s", new Timestamp(hour * 3600000L))
+    // epoch 1: three conversations hold state
+    ms.addData(at(1, "a1"), at(1, "a2"), at(1, "a3"))
+    q.processAllAvailable()
+    val afterEpoch1 = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(afterEpoch1 == 3L, s"expected 3 live conv states, got $afterEpoch1")
+    // three watermark epochs, each jumping event time 2 hours: the
+    // watermark (maxEventTime - 30 min) passes every earlier epoch's
+    // timeout (lastEvent + 1 s), so their states must be REMOVED — state
+    // is bounded by conversations inside the horizon, not stream history
+    ms.addData(at(3, "b1")); q.processAllAvailable()
+    ms.addData(at(5, "c1")); q.processAllAvailable()
+    ms.addData(at(7, "d1")); q.processAllAvailable()
+    val afterEpochs = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    // 7 conversations ever seen; only the last two epochs' can still be
+    // inside the horizon (the newest, plus the one whose timeout the
+    // watermark hasn't crossed yet)
+    assert(afterEpochs <= 2L,
+      s"state grew with stream history: $afterEpochs rows live after eviction epochs")
+  }
+
   test("windowed mention rate with watermark (streaming agg)") {
     implicit val sqlCtx = spark.sqlContext
     val classes = Seq(ClassText("src", "src:C1", 0L, Seq("alpha")))
