@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /**
  * Multimodal column plumbing: image/audio/video payloads are opaque
@@ -202,27 +201,23 @@ object multimodal {
   /**
    * Batched decode: (id, payload: binary) → (id, n_bytes, features:
    * array<float>). Batches of `batchSize` rows per kernel invocation —
-   * the shape a vectorized (Arrow) UDF would see.
+   * the shape a vectorized (Arrow) UDF would see. A typed mapPartitions
+   * (MapPartitions *logical* node, like `headerMeta` and the pair
+   * scorer), so Catalyst/AQE keep owning the plan if decoded features
+   * feed downstream joins — no df.rdd optimizer barrier.
    */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                      payloadCol: String, dim: Int = 16,
                      batchSize: Int = 64): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("id", df.schema(idCol).dataType),
-      StructField("n_bytes", LongType),
-      StructField("features", ArrayType(FloatType))))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val pIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
+    import spark.implicits._
+    df.select(col(idCol).cast("string").as("id"), col(payloadCol).as("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
         // one "kernel call" per batch: decode all payloads together
-        val decoded = batch.map { r =>
-          val p = r.getAs[Array[Byte]](pIdx)
-          (r.get(idIdx), if (p == null) 0L else p.length.toLong, fakeDecode(p, dim))
+        batch.iterator.map { case (id, p) =>
+          (id, if (p == null) 0L else p.length.toLong, fakeDecode(p, dim))
         }
-        decoded.iterator.map { case (id, n, f) => Row(id, n, f.toSeq) }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+      })
+      .toDF("id", "n_bytes", "features")
   }
 }

@@ -20,11 +20,11 @@ class MultimodalLineageSpec extends SparkSuite {
       .toDF("id", "payload")
     val out = multimodal.decodeFeatures(spark, df, "id", "payload", dim = 8, batchSize = 16)
     assert(out.columns.toSeq == Seq("id", "n_bytes", "features"))
-    val r = out.filter($"id" === 1L).head()
+    val r = out.filter($"id" === "1").head()
     assert(r.getSeq[Float](2).length == 8)
     // determinism across batch sizes
     val again = multimodal.decodeFeatures(spark, df, "id", "payload", dim = 8, batchSize = 7)
-      .filter($"id" === 1L).head()
+      .filter($"id" === "1").head()
     assert(r.getSeq[Float](2).toList == again.getSeq[Float](2).toList)
   }
 
