@@ -382,6 +382,36 @@ object SparkEntry {
       similarity.kmeansFit(t(s, dir, "embeddings").filter(col("vec_id") < 200),
         "vec_id", "embedding", 4, 2)),
 
+    // --- fitted IVF end-to-end: kmeansFit centroids feed ivfTopK — the
+    // whole self-contained ANN story (train + assign + probe + top-k) as
+    // one engine-exact composition -----------------------------------------
+    "q57_ivf_fitted" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val cen = similarity.fitCentroidsForIvf(
+        similarity.kmeansFit(vecs, "vec_id", "embedding", 4, 2))
+      similarity.ivfTopK(vecs.filter(col("vec_id") < 20), vecs, cen,
+          "vec_id", "embedding", 3, 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // --- WordPiece through the candidate engine: vocab-driven postings on
+    // both sides feeding the fixed-point IDF candidate join — the
+    // candidate-recall path a real-vocab user runs ------------------------
+    "q58_wordpiece_candidates" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val vocabBc = s.sparkContext.broadcast(WpVocab.toSet)
+      val tok = (c: Column) => graft.functions.text.wordpieceTokensCol(vocabBc)(c)
+      val from = docs.filter(col("doc_id") < 250)
+      val to = docs.filter(col("doc_id") >= 250)
+      val qTok = index.postingsFromText(from, "doc_id", "text", 0, tok)
+        .withColumnRenamed("class_id", "query_id")
+      val post = index.postingsFromText(to, "doc_id", "text", 0, tok)
+      index.idfCandidatesFixedPoint(qTok, post, to.count(), 5,
+          widthHint = s.sparkContext.defaultParallelism)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "q28_lang_quality" -> ((s, dir) => {
       val toks = text.wordTokensCol(col("text"))
       def hits(words: Seq[String]): Column =
@@ -710,6 +740,84 @@ object SparkEntry {
          |    CAST(SUM(CASE WHEN bit >= 32 AND bit < 48 AND vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b2,
          |    CAST(SUM(CASE WHEN bit >= 48 AND vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b3
          |  FROM votes GROUP BY id)""".stripMargin
+    // fixed-point k-means CTEs (q55/q57): `vec(id, v)` in the 10^6-integer
+    // domain, then 2 unrolled Lloyd rounds yielding c1 / c2n / c2
+    val kmeansVecCte =
+      """vec AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 200)""".stripMargin
+    val kmeansCtes = {
+      val xd = (c: String) => s"list_transform($c, e -> CAST(e AS DOUBLE))"
+      val cos = (a: String, b: String) => {
+        val den = s"(sqrt(list_dot_product(${xd(a)}, ${xd(a)})) * " +
+          s"sqrt(list_dot_product(${xd(b)}, ${xd(b)})))"
+        s"(CASE WHEN $den = 0 THEN 0.0 ELSE " +
+          s"list_dot_product(${xd(a)}, ${xd(b)}) / $den END)"
+      }
+      def round(i: Int, prevC: String) =
+        s"""a$i AS (
+           |  SELECT id, v, cell FROM (
+           |    SELECT x.id, x.v, i.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY x.id
+           |        ORDER BY ${cos("x.v", "i.c")} DESC, i.cell ASC) AS rk
+           |    FROM vec x CROSS JOIN $prevC i) t WHERE rk = 1),
+           |u$i AS (
+           |  SELECT a.cell, s.p AS pos,
+           |    CAST(SUM(a.v[s.p]) AS BIGINT) // COUNT(*) AS cv,
+           |    COUNT(*) AS cnt
+           |  FROM a$i a, unnest(generate_series(1, len(a.v))) AS s(p)
+           |  GROUP BY 1, 2),
+           |c${i}n AS (SELECT cell, list(cv ORDER BY pos) AS c, MAX(cnt) AS n
+           |           FROM u$i GROUP BY cell),
+           |c$i AS (SELECT p.cell, COALESCE(n.c, p.c) AS c
+           |        FROM $prevC p LEFT JOIN c${i}n n USING (cell))""".stripMargin
+      s"""init AS (
+         |  SELECT CAST(rn AS INT) AS cell, v AS c FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY md5(id), id) AS rn FROM vec) t
+         |  WHERE rn <= 4),
+         |${round(1, "init")},
+         |${round(2, "c1")}""".stripMargin
+    }
+    // WordPiece greedy-walk CTEs (q54/q58): require a prior CTE
+    // `words(word)`; yield `pieces(word, token)` — the no-backtracking
+    // longest-match walk with whole-word [UNK] (see q54 for the contract)
+    val wordpieceCtes = {
+      val vocabValues = WpVocab.map(v => s"('$v')").mkString(", ")
+      s"""vocab(tok) AS (VALUES $vocabValues),
+         |v AS (
+         |  SELECT tok,
+         |    CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END AS body,
+         |    starts_with(tok, '##') AS cont,
+         |    length(CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END) AS blen
+         |  FROM vocab),
+         |pos AS (
+         |  SELECT word, unnest(generate_series(1, length(word))) AS sp FROM words),
+         |best AS (
+         |  SELECT p.word, p.sp, MAX(v.blen) AS blen
+         |  FROM pos p JOIN v
+         |    ON v.cont = (p.sp > 1)
+         |   AND substr(p.word, CAST(p.sp AS INT), CAST(v.blen AS INT)) = v.body
+         |  GROUP BY 1, 2),
+         |walk AS (
+         |  SELECT word, 1 AS sp, length(word) AS wlen FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.sp + CAST(b.blen AS INT) AS sp, w.wlen
+         |  FROM walk w JOIN best b ON b.word = w.word AND b.sp = w.sp
+         |  WHERE w.sp <= w.wlen),
+         |bad AS (
+         |  SELECT DISTINCT w.word
+         |  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.sp = w.sp
+         |  WHERE w.sp <= w.wlen AND b.word IS NULL),
+         |pieces AS (
+         |  SELECT w.word,
+         |    CASE WHEN w.sp > 1 THEN '##' || substr(w.word, CAST(w.sp AS INT), CAST(b.blen AS INT))
+         |         ELSE substr(w.word, CAST(w.sp AS INT), CAST(b.blen AS INT)) END AS token
+         |  FROM walk w JOIN best b ON b.word = w.word AND b.sp = w.sp
+         |  WHERE w.word NOT IN (SELECT word FROM bad)
+         |  UNION ALL
+         |  SELECT word, '[UNK]' AS token FROM bad)""".stripMargin
+    }
     val prfSets =
       """pre0 AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_quantity > 45),
         |pre AS (SELECT * FROM pre0 WHERE entity1 <> entity2),
@@ -1278,43 +1386,40 @@ object SparkEntry {
         // fixed-point vectors, cosine assignment with cell-asc tie-break,
         // integer mean update (BIGINT sum, truncating //), empty cells
         // keep the previous centroid
-        val xd = (c: String) => s"list_transform($c, e -> CAST(e AS DOUBLE))"
-        val cos = (a: String, b: String) => {
-          val den = s"(sqrt(list_dot_product(${xd(a)}, ${xd(a)})) * " +
-            s"sqrt(list_dot_product(${xd(b)}, ${xd(b)})))"
-          s"(CASE WHEN $den = 0 THEN 0.0 ELSE " +
-            s"list_dot_product(${xd(a)}, ${xd(b)}) / $den END)"
-        }
-        def round(i: Int, prevC: String) =
-          s"""a$i AS (
-             |  SELECT id, v, cell FROM (
-             |    SELECT x.id, x.v, i.cell,
-             |      ROW_NUMBER() OVER (PARTITION BY x.id
-             |        ORDER BY ${cos("x.v", "i.c")} DESC, i.cell ASC) AS rk
-             |    FROM vec x CROSS JOIN $prevC i) t WHERE rk = 1),
-             |u$i AS (
-             |  SELECT a.cell, s.p AS pos,
-             |    CAST(SUM(a.v[s.p]) AS BIGINT) // COUNT(*) AS cv,
-             |    COUNT(*) AS cnt
-             |  FROM a$i a, unnest(generate_series(1, len(a.v))) AS s(p)
-             |  GROUP BY 1, 2),
-             |c${i}n AS (SELECT cell, list(cv ORDER BY pos) AS c, MAX(cnt) AS n
-             |           FROM u$i GROUP BY cell),
-             |c$i AS (SELECT p.cell, COALESCE(n.c, p.c) AS c
-             |        FROM $prevC p LEFT JOIN c${i}n n USING (cell))""".stripMargin
-        s"""WITH vec AS (
-           |  SELECT CAST(vec_id AS VARCHAR) AS id,
-           |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
-           |  FROM embeddings WHERE vec_id < 200),
-           |init AS (
-           |  SELECT CAST(rn AS INT) AS cell, v AS c FROM (
-           |    SELECT v, ROW_NUMBER() OVER (ORDER BY md5(id), id) AS rn FROM vec) t
-           |  WHERE rn <= 4),
-           |${round(1, "init")},
-           |${round(2, "c1")}
+        s"""WITH $kmeansVecCte,
+           |$kmeansCtes
            |SELECT p.cell, COALESCE(n.n, CAST(0 AS BIGINT)) AS n_assigned,
            |  COALESCE(n.c, p.c) AS centroid
            |FROM c1 p LEFT JOIN c2n n USING (cell)""".stripMargin
+      },
+
+      "q57_ivf_fitted" -> {
+        // kmeans CTEs (shared with q55) produce the fitted fixed-point
+        // centroids c2; convert to DOUBLE and run the q26 IVF plan on them:
+        // assign every candidate to its nearest fitted cell, probe the 2
+        // nearest cells per query, brute-force top-3 inside them
+        val cosd = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH $kmeansVecCte,
+           |$kmeansCtes,
+           |cen AS (SELECT cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM c2),
+           |vd AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+           |assigned AS (SELECT id, v, cell FROM (
+           |  SELECT vd.id, vd.v, cen.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY vd.id ORDER BY
+           |      ${cosd("vd.v", "cen.cv")} DESC, cen.cell ASC) AS rk
+           |  FROM vd CROSS JOIN cen) WHERE rk = 1),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |  SELECT q.query_id, q.qv, cen.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |      ${cosd("q.qv", "cen.cv")} DESC, cen.cell ASC) AS rk
+           |  FROM q CROSS JOIN cen) WHERE rk <= 2),
+           |s AS (SELECT p.query_id, a.id AS cand_id, ${cosd("p.qv", "a.v")} AS cosine
+           |  FROM probes p JOIN assigned a USING (cell) WHERE p.query_id <> a.id),
+           |r AS (SELECT query_id, cand_id, cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk FROM s)
+           |SELECT query_id, cand_id, round(cosine, 6) AS cosine, rnk FROM r WHERE rnk <= 3""".stripMargin
       },
 
       "q54_wordpiece_postings" -> {
@@ -1324,50 +1429,49 @@ object SparkEntry {
         // 1 — then the walk advances by the matched length with no
         // backtracking; any walked position with no piece marks the whole
         // word [UNK], exactly the BERT WordpieceTokenizer contract
-        val vocabValues = WpVocab.map(v => s"('$v')").mkString(", ")
-        s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabValues),
-           |v AS (
-           |  SELECT tok,
-           |    CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END AS body,
-           |    starts_with(tok, '##') AS cont,
-           |    length(CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END) AS blen
-           |  FROM vocab),
-           |words AS (
+        s"""WITH RECURSIVE words AS (
            |  SELECT DISTINCT word FROM (
            |    SELECT unnest($toks) AS word FROM documents WHERE doc_id < 100)
            |  WHERE length(word) > 0),
-           |pos AS (
-           |  SELECT word, unnest(generate_series(1, length(word))) AS sp FROM words),
-           |best AS (
-           |  SELECT p.word, p.sp, MAX(v.blen) AS blen
-           |  FROM pos p JOIN v
-           |    ON v.cont = (p.sp > 1)
-           |   AND substr(p.word, CAST(p.sp AS INT), CAST(v.blen AS INT)) = v.body
-           |  GROUP BY 1, 2),
-           |walk AS (
-           |  SELECT word, 1 AS sp, length(word) AS wlen FROM words
-           |  UNION ALL
-           |  SELECT w.word, w.sp + CAST(b.blen AS INT) AS sp, w.wlen
-           |  FROM walk w JOIN best b ON b.word = w.word AND b.sp = w.sp
-           |  WHERE w.sp <= w.wlen),
-           |bad AS (
-           |  SELECT DISTINCT w.word
-           |  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.sp = w.sp
-           |  WHERE w.sp <= w.wlen AND b.word IS NULL),
-           |pieces AS (
-           |  SELECT w.word,
-           |    CASE WHEN w.sp > 1 THEN '##' || substr(w.word, CAST(w.sp AS INT), CAST(b.blen AS INT))
-           |         ELSE substr(w.word, CAST(w.sp AS INT), CAST(b.blen AS INT)) END AS token
-           |  FROM walk w JOIN best b ON b.word = w.word AND b.sp = w.sp
-           |  WHERE w.word NOT IN (SELECT word FROM bad)
-           |  UNION ALL
-           |  SELECT word, '[UNK]' AS token FROM bad),
+           |$wordpieceCtes,
            |docw AS (
            |  SELECT DISTINCT doc_id, word FROM (
            |    SELECT doc_id, unnest($toks) AS word FROM documents WHERE doc_id < 100)
            |  WHERE length(word) > 0)
            |SELECT DISTINCT d.doc_id AS class_id, p.token
            |FROM docw d JOIN pieces p USING (word)""".stripMargin
+      },
+
+      "q58_wordpiece_candidates" -> {
+        // WordPiece postings on both document halves, then the fixed-point
+        // IDF candidate ranking (q50's candidate CTEs with wordpiece
+        // tokens): floor(1e6·D/df) summed as BIGINT, top-5 per query with
+        // (idf_w desc, class_id asc) tie-break
+        s"""WITH RECURSIVE words AS (
+           |  SELECT DISTINCT word FROM (
+           |    SELECT unnest($toks) AS word FROM documents)
+           |  WHERE length(word) > 0),
+           |$wordpieceCtes,
+           |fw AS (
+           |  SELECT DISTINCT doc_id, word FROM (
+           |    SELECT doc_id, unnest($toks) AS word FROM documents WHERE doc_id < 250)
+           |  WHERE length(word) > 0),
+           |tw AS (
+           |  SELECT DISTINCT doc_id, word FROM (
+           |    SELECT doc_id, unnest($toks) AS word FROM documents WHERE doc_id >= 250)
+           |  WHERE length(word) > 0),
+           |fpost AS (SELECT DISTINCT f.doc_id AS query_id, p.token FROM fw f JOIN pieces p USING (word)),
+           |tpost AS (SELECT DISTINCT t.doc_id AS class_id, p.token FROM tw t JOIN pieces p USING (word)),
+           |df AS (SELECT token, count(*) AS df FROM tpost GROUP BY token),
+           |d AS (SELECT count(*) AS d FROM documents WHERE doc_id >= 250),
+           |w AS (SELECT p.token, p.class_id, CAST(floor(1000000 * d.d / df.df) AS BIGINT) AS w
+           |      FROM tpost p JOIN df USING (token) CROSS JOIN d),
+           |summed AS (SELECT q.query_id, w.class_id, CAST(SUM(w.w) AS BIGINT) AS idf_w
+           |           FROM fpost q JOIN w USING (token) GROUP BY 1, 2)
+           |SELECT query_id, class_id, idf_w, CAST(rnk AS INT) AS rnk FROM (
+           |  SELECT query_id, class_id, idf_w,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idf_w DESC, class_id ASC) AS rnk
+           |  FROM summed) WHERE rnk <= 5""".stripMargin
       },
 
       "q49_embeds_align" -> {
