@@ -48,6 +48,14 @@ object Pipeline {
                                     // (onto_index.py:46-47) — matches the
                                     // reference's candidate recall for
                                     // morphologically-related labels
+      wordpieceVocab: Option[Set[String]] = None,
+                                    // a real WordPiece vocab (the
+                                    // reference's AutoTokenizer checkpoint
+                                    // vocab, onto_index.py:38-47): when
+                                    // set, the index tokenizes with
+                                    // vocab-driven greedy longest-match
+                                    // (text.wordpieceTokensCol, broadcast
+                                    // once) and overrides subwordIndex
       linker: String = "auto",      // trie | join | auto — mention-detect
                                     // kernel: collected broadcast trie
                                     // (fast, bounded by maxDictEntities) vs
@@ -57,6 +65,20 @@ object Pipeline {
       maxDfFrac: Double = 1.0,
       saltBuckets: Int = 1,
       scorer: score.ScorerParams = score.ScorerParams())
+
+  /** Index tokenizer for `p`: a real broadcast WordPiece vocab when given,
+    * else the vocab-free sub-word splitter (Pipeline default), else plain
+    * word tokens — all pluggable into the same postings slot. */
+  def tokenizerFor(spark: SparkSession, p: Params)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    p.wordpieceVocab match {
+      case Some(vocab) =>
+        val bc = spark.sparkContext.broadcast(vocab)
+        c => text.wordpieceTokensCol(bc)(c)
+      case None if p.subwordIndex =>
+        text.subwordTokensCol(_: org.apache.spark.sql.Column)
+      case None => text.wordTokensCol(_: org.apache.spark.sql.Column)
+    }
 
   /** Normalized (id, label) long form of one catalog side. */
   def sideLabels(classes: Dataset[ClassText], onto: String): DataFrame =
@@ -68,12 +90,12 @@ object Pipeline {
 
   /** Token postings of one side, shared by both alignment directions
     * (the same explode+distinct serves as index postings and as query
-    * tokens — build once, cache). `subword` switches to the WordPiece-style
-    * sub-word tokenizer the reference indexes with (onto_index.py:46-47). */
+    * tokens — build once, cache). `tok` is the index tokenizer — use
+    * `tokenizerFor(spark, p)` to resolve it from Params (real WordPiece
+    * vocab / vocab-free sub-word / plain words, onto_index.py:38-47). */
   def sidePostings(labels: DataFrame, tokenCut: Int,
-                   subword: Boolean = false): DataFrame = {
-    val tok = if (subword) text.subwordTokensCol(_: org.apache.spark.sql.Column)
-              else text.wordTokensCol(_: org.apache.spark.sql.Column)
+                   tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     labels
       .select(col("id").as("class_id"), explode(tok(col("label"))).as("token"))
       .filter(length(col("token")) > tokenCut).distinct()
@@ -122,16 +144,14 @@ object Pipeline {
     case "nes" =>
       val dSrc = srcLabels.select("id").distinct().count()
       val dTgt = tgtLabels.select("id").distinct().count()
-      val tok = if (p.subwordIndex) text.subwordTokensCol(_: org.apache.spark.sql.Column)
-                else text.wordTokensCol(_: org.apache.spark.sql.Column)
+      val tok = tokenizerFor(spark, p)
       align.combine(
         align.orient(nes.alignOneSide(srcLabels, tgtLabels, dTgt,
           p.candidateLimit, p.nbest, tok), fromIsSrc = true),
         align.orient(nes.alignOneSide(tgtLabels, srcLabels, dSrc,
           p.candidateLimit, p.nbest, tok), fromIsSrc = false))
     case "embeds" =>
-      val tok = if (p.subwordIndex) text.subwordTokensCol(_: org.apache.spark.sql.Column)
-                else text.wordTokensCol(_: org.apache.spark.sql.Column)
+      val tok = tokenizerFor(spark, p)
       // threshold 0: run() applies the acceptance threshold uniformly
       embeds.alignEmbeds(spark, srcLabels, tgtLabels, 0.0,
         p.candidateLimit, p.nbest, tokenizer = tok)
@@ -142,8 +162,9 @@ object Pipeline {
   /** Classifier-mode raw mappings (the default path). */
   def rawMappingsClassifier(spark: SparkSession, srcLabels: DataFrame,
                             tgtLabels: DataFrame, p: Params): DataFrame = {
-    val srcPost = sidePostings(srcLabels, p.tokenCut, p.subwordIndex).cache()
-    val tgtPost = sidePostings(tgtLabels, p.tokenCut, p.subwordIndex).cache()
+    val tok = tokenizerFor(spark, p)
+    val srcPost = sidePostings(srcLabels, p.tokenCut, tok).cache()
+    val tgtPost = sidePostings(tgtLabels, p.tokenCut, tok).cache()
     // one action for both catalog sizes (every extra tiny SQL execution
     // costs real wall time on the serial critical path)
     val sizes = srcLabels.select(lit("src").as("s"), col("id"))

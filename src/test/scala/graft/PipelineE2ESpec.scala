@@ -105,6 +105,47 @@ class PipelineE2ESpec extends SparkSuite {
       s"sameAs=${sameAs.size} >= natural=$natural: alignment chain re-ran despite precomputedRaw")
   }
 
+  test("wordpieceVocab: a whole-word vocab reproduces the word-tokenizer pipeline exactly") {
+    // greedy longest-match against a vocab containing every catalog word
+    // matches each word whole — so the wordpiece-indexed pipeline must be
+    // BIT-IDENTICAL to the plain word-tokenizer pipeline. Pins the vocab
+    // plumbing (broadcast, tokenizer slot, candidate recall) end-to-end.
+    import graft.functions.text
+    val vocab = classes.collect().toSeq
+      .flatMap(c => text.normalizeLabels(c.labels))
+      .flatMap(text.wordTokens).toSet
+    def triplesWith(p: Pipeline.Params) = {
+      val (_, trip) = Pipeline.run(spark, turns, classes, edges, p)
+      trip.as[(String, String, String, Double)].collect().toSet
+    }
+    val word = triplesWith(Pipeline.Params(subwordIndex = false))
+    val wp = triplesWith(Pipeline.Params(subwordIndex = false,
+      wordpieceVocab = Some(vocab)))
+    assert(wp == word,
+      s"wordpiece(all-words vocab) diverged from word tokenizer: " +
+        s"only-word=${(word -- wp).take(3)} only-wp=${(wp -- word).take(3)}")
+    assert(word.nonEmpty)
+  }
+
+  test("reliable materialization: the full pipeline (iterative loops included) is mode-invariant") {
+    // every stage.materialize site — extension loop, repair, the corpus-
+    // style lineage cuts — must produce identical triples under the
+    // cluster-safe checkpoint-dir policy as under localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-chk-e2e").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    def triples() = {
+      val (_, trip) = Pipeline.run(spark, turns, classes, edges)
+      trip.as[(String, String, String, Double)].collect().toSet
+    }
+    val local = triples()
+    spark.conf.set("spark.graft.materialize", "reliable")
+    try {
+      val reliable = triples()
+      assert(reliable == local)
+      assert(reliable.nonEmpty)
+    } finally spark.conf.set("spark.graft.materialize", "local")
+  }
+
   test("stage.materialize reliable mode survives via the checkpoint dir (fault-tolerant lineage cut)") {
     // the cluster-safe materialization policy: blocks go to the checkpoint
     // dir (HDFS/S3A on a cluster), so executor loss / dynamic-allocation
