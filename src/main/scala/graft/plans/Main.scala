@@ -109,8 +109,9 @@ object Main {
       .mkString(
         s"""{"mappings":$nMappings,"turns_seen":$turnsSeen,"resumed":${!triplesRebuilt},"triples":{""",
         ",", "}}")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$workDir/metrics.json"),
-      metricsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // through the Hadoop FS API like the manifests: a hdfs:///s3a:// workDir
+    // gets the metrics on the cluster store, not the driver's local disk
+    lineage.writeText(spark, workDir, "metrics.json", metricsJson)
     if (preexisting.isEmpty) spark.stop() // under spark-submit we own it
   }
 }

@@ -65,6 +65,19 @@ object lineage {
     finally out.close()
   }
 
+  /** Write a small text artifact (metrics, reports) next to the stage
+    * manifests through the same Hadoop FileSystem resolution — a
+    * hdfs:///s3a:// workDir gets the artifact on the cluster store, not
+    * on the driver's local disk. */
+  def writeText(spark: SparkSession, dir: String, name: String,
+                content: String): Unit = {
+    val (fs, base) = fsFor(dir, hadoopConf(spark))
+    fs.mkdirs(base)
+    val out = fs.create(new Path(base, name), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def fingerprint(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     parts.foreach(p => md.update(p.getBytes(StandardCharsets.UTF_8)))
