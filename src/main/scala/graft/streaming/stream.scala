@@ -107,6 +107,32 @@ object stream {
         GroupStateTimeout.EventTimeTimeout)(assign)
   }
 
+  /**
+   * Streaming triple materialization: canonicalize a live mention stream
+   * against the BATCH-computed entity components (a stream-static join —
+   * the components table is a bounded dimension, so Spark broadcasts it
+   * per micro-batch) and emit append-only `mentions` triples in the graph
+   * table's (subj, pred, obj, score) shape. This is the "stream new
+   * transcripts into the existing KG" path: alignment/extension/repair
+   * stay batch (cross-catalog global state, deliberately un-streamed);
+   * the transcript-proportional mention evidence flows continuously.
+   * Writing with `writeStream.format("parquet").option(
+   * "checkpointLocation", ...)` gives exactly-once file-sink semantics by
+   * Structured Streaming's sink contract. Same canonicalization rule as
+   * the batch path (Pipeline.run): mention OBJECTS are rewritten to the
+   * canonical representative; unknown entities pass through unchanged.
+   */
+  def triplesStream(mens: DataFrame, components: DataFrame): DataFrame =
+    mens
+      .join(org.apache.spark.sql.functions.broadcast(
+        components.select(col("id").as("class_iri"), col("canonical"))),
+        Seq("class_iri"), "left")
+      .select(
+        concat(col("conv_id"), lit("#"), col("turn_idx")).as("subj"),
+        lit("mentions").as("pred"),
+        coalesce(col("canonical"), col("class_iri")).as("obj"),
+        lit(1.0).as("score"))
+
   /** Windowed mention rate: 10-minute tumbling windows per entity with a
     * 30-minute watermark for late data. */
   def mentionRate(mentionsWithTs: DataFrame): DataFrame =

@@ -207,6 +207,35 @@ class SourcesStreamingSpec extends SparkSuite {
       s"state grew with stream history: $afterEpochs rows live after eviction epochs")
   }
 
+  test("triplesStream: stream-static canonicalize join emits the batch triples' mention rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.stream.StreamMention
+    // batch-computed components: e1 and e2 share a canonical representative
+    val comps = Seq(("e1", "e1"), ("e2", "e1")).toDF("id", "canonical")
+    val ms = MemoryStream[StreamMention]
+    val trip = graft.streaming.stream.triplesStream(ms.toDS().toDF(), comps)
+    val q = trip.writeStream.format("memory").queryName("trip_out")
+      .outputMode("append").start()
+    ms.addData(
+      StreamMention("c1", 0, "src", "e2", "beta", new Timestamp(1000L)), // canonicalized -> e1
+      StreamMention("c1", 1, "src", "e9", "x", new Timestamp(2000L)))    // unknown passes through
+    q.processAllAvailable()
+    val rows = spark.sql("select subj, pred, obj, score from trip_out")
+      .as[(String, String, String, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("c1#0", "mentions", "e1", 1.0),
+      ("c1#1", "mentions", "e9", 1.0)))
+    // identical to the batch canonicalization + triples mention rows
+    val batchMens = Seq(("c1", 0, "src", "e1", "beta"), ("c1", 1, "src", "e9", "x"))
+      .toDF("conv_id", "turn_idx", "onto", "class_iri", "surface")
+    val batch = graft.operators.canonical.triples(
+        Seq.empty[(String, String, Double)].toDF("entity1", "entity2", "value"),
+        batchMens, Seq.empty[(String, String)].toDF("child_iri", "parent_iri"))
+      .as[(String, String, String, Double)].collect().toSet
+    assert(batch == rows)
+  }
+
   test("windowed mention rate with watermark (streaming agg)") {
     implicit val sqlCtx = spark.sqlContext
     val classes = Seq(ClassText("src", "src:C1", 0L, Seq("alpha")))
