@@ -627,6 +627,18 @@ object SparkEntry {
         sum(h).as("hash_sum"))
     }),
 
+    // --- BPE/WordPiece vocab induction (tokenizer training): the merge
+    // table learned from the seed-42 fixture transcripts. Deterministic by
+    // construction (integer weighted counts, explicit argmax tie-breaks,
+    // VocabSpec pins partition-invariance), and the fixture is a pure
+    // function of its seed — so the learned merges are CONSTANTS of the
+    // code, pinned by the oracle exactly like q40g/q40t ------------------
+    "q59_bpe_merges" -> ((s, dir) => {
+      val turns = graft.sources.fixtures.transcripts(s, graft.sources.fixtures.tiny)
+      val hist = vocab.wordHistogram(turns.toDF(), "text")
+      vocab.learnMerges(s, hist, 12)
+    }),
+
     // --- mention detect + stabilize, DuckDB-oracled: the join-based detect
     // kernel (greedy longest-match over word n-grams — same semantics as
     // the broadcast trie, pinned equal by MentionsSpec) over the documents
@@ -1560,6 +1572,28 @@ object SparkEntry {
           |  CAST(91 AS BIGINT) AS n_mappings, CAST(9 AS BIGINT) AS n_ignored,
           |  CAST(1.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS r,
           |  CAST(1.0 AS DOUBLE) AS f1""".stripMargin
+      },
+
+      "q59_bpe_merges" -> {
+        // the 12 learned merges as pinned constants (the q40g argument:
+        // partition-invariant algorithm × seed-42 fixture ⇒ the merge
+        // table is a constant of the code; any change to tokenization,
+        // histogram weighting or tie-breaking moves at least one row)
+        """SELECT CAST(m AS INT) AS merge_ord, l AS "left", r AS "right",
+          |  mg AS merged, CAST(n AS BIGINT) AS pair_count
+          |FROM (VALUES
+          |  (1, '##o', '##r', '##or', 193),
+          |  (2, '##a', '##r', '##ar', 192),
+          |  (3, '##e', '##l', '##el', 150),
+          |  (4, '##o', '##l', '##ol', 126),
+          |  (5, '##t', '##e', '##te', 118),
+          |  (6, '##u', '##a', '##ua', 115),
+          |  (7, '##p', '##ol', '##pol', 108),
+          |  (8, 'k', '##a', 'ka', 107),
+          |  (9, '##q', '##ua', '##qua', 97),
+          |  (10, 's', '##ar', 'sar', 94),
+          |  (11, '##l', '##e', '##le', 92),
+          |  (12, '##e', '##n', '##en', 91)) AS t(m, l, r, mg, n)""".stripMargin
       },
 
       "q40t_triples_hash" -> {
