@@ -347,6 +347,25 @@ object SparkEntry {
       dedup.ngramJaccardPairs(wide(s, t(s, dir, "documents")), "doc_id", "text", 2, 0.2, 500)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
+    // --- end-to-end near-dup canonicalization: the training-data dedup
+    // composition — n-gram Jaccard pairs → connected components over the
+    // dup graph → one canonical representative per document (min id),
+    // exactly the "keep one copy per duplicate cluster" selection a
+    // pretraining pipeline runs ------------------------------------------
+    "q60_dedup_canonical" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val pairs = dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2, 500)
+      val comps = canonical.connectedComponents(s,
+        pairs.select(col("id1").as("entity1"), col("id2").as("entity2")), 10)
+      docs.select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("canonical")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical"), col("doc_id")).as("canonical"))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("canonical")).cast("int"))
+    }),
+
     "q24_simhash" -> ((s, dir) =>
       dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -1201,6 +1220,38 @@ object SparkEntry {
 
       "q24_simhash" ->
         s"WITH $simhashSigCte SELECT id, b0, b1, b2, b3 FROM sig",
+
+      "q60_dedup_canonical" -> {
+        // q23's pair CTEs, then components as a transitive closure
+        // (UNION-deduped recursive reachability — dup clusters are small,
+        // so closure is cheap) with canonical = min of the component; the
+        // Spark side's pointer-jumping CC converges to the same min
+        s"""WITH RECURSIVE $shingleCte,
+           |shk AS (SELECT id,
+           |  ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS shingle FROM sh),
+           |sizes AS (SELECT id, count(*) AS n_shingles FROM shk GROUP BY id),
+           |rare AS (SELECT shk.id, shk.shingle FROM shk
+           |  JOIN (SELECT shingle, count(*) AS df FROM shk GROUP BY shingle) d
+           |  ON shk.shingle = d.shingle AND d.df <= 500 AND d.df >= 2),
+           |shared AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+           |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
+           |pairs AS (SELECT id1, id2 FROM shared
+           |  JOIN sizes n1 ON n1.id = id1
+           |  JOIN sizes n2 ON n2.id = id2
+           |  WHERE shared / (n1.n_shingles + n2.n_shingles - shared) >= 0.2),
+           |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |        UNION SELECT id2, id1 FROM pairs),
+           |nodes AS (SELECT DISTINCT a AS id FROM sym),
+           |reach(id, r) AS (
+           |  SELECT id, id AS r FROM nodes
+           |  UNION
+           |  SELECT s.b AS id, rr.r FROM reach rr JOIN sym s ON s.a = rr.id),
+           |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+           |SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical,
+           |  CAST(CASE WHEN COALESCE(c.canonical, d.doc_id) = d.doc_id
+           |       THEN 1 ELSE 0 END AS INT) AS is_canonical
+           |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+      },
 
       "q44_simhash_pairs" ->
         s"""WITH $simhashSigCte,
