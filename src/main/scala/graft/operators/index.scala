@@ -140,7 +140,15 @@ object index {
       tokenIdf.repartition(widthHint, col("token"))
     else tokenIdf
     val joined =
-      if (saltBuckets <= 1)
+      if (saltBuckets <= 1 || broadcastPostings.contains(true))
+        // A broadcast hash join has NO reducer keyed by token — every
+        // probe-side partition streams the whole fan-out itself — so there
+        // is no hot-token reducer for a salt to spread: salting in the
+        // broadcast regime would replicate the query side B× for an
+        // identical result AND silently drop the query_id width pin the
+        // downstream agg/top-k/scorer chain relies on. Route it to the
+        // unsalted broadcast path instead (same result multiset by the
+        // salted-join invariant).
         qIn.join(if (broadcastPostings.contains(true)) broadcast(pIn) else pIn,
           "token")
       else {
@@ -162,13 +170,11 @@ object index {
           .withColumn("salt",
             explode(array((0 until saltBuckets).map(lit): _*)))
         val (qS, pS) =
-          if (widthHint > 0 && !broadcastPostings.contains(true))
+          if (widthHint > 0)
             (qSalted0.repartition(widthHint, col("token"), col("salt")),
               pSalted0.repartition(widthHint, col("token"), col("salt")))
           else (qSalted0, pSalted0)
-        qS.join(
-          if (broadcastPostings.contains(true)) broadcast(pS) else pS,
-          Seq("token", "salt")).drop("salt")
+        qS.join(pS, Seq("token", "salt")).drop("salt")
       }
 
     val summed =

@@ -136,9 +136,17 @@ object mentions {
     // evidence with two distinct `ts` values) would otherwise make the
     // survivor's extras partition-dependent — exactly the nondeterminism
     // this function exists to remove. Appending them after the key keeps
-    // wOrd's sort a prefix of wAll's (no second exchange or sort); extras
-    // must therefore be of orderable types (atomic/struct/array — not map).
+    // wOrd's sort a prefix of wAll's (no second exchange or sort). Only
+    // ORDERABLE extras join the sort — a map-typed column cannot appear in
+    // an order specification, and failing analysis for a column this
+    // function never touches would be a regression; unorderable extras
+    // keep the pre-existing ride-along behavior (well-defined whenever the
+    // input is unique on the 5-col key plus the orderable extras).
     val extraCols = mens.columns.filterNot(keyCols.contains).toSeq
+      .filter { c =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+          mens.schema(c).dataType)
+      }
     val wAll = Window.partitionBy(col("conv_id"))
       .orderBy((Seq(col("turn_idx").asc, col("onto").asc, col("class_iri").asc,
         col("surface").asc) ++ extraCols.map(c => col(c).asc)): _*)
@@ -257,7 +265,12 @@ object mentions {
     // per-first-token max surface length: positions explode only as far as
     // the token at that position can actually START a surface (a dict
     // where most surfaces are single-word then builds almost no multi-word
-    // gram strings)
+    // gram strings). NO broadcast hint: the first-token dimension is
+    // O(distinct first tokens) — catalog-sized for ID-/code-like surface
+    // sets — and this kernel exists precisely for catalogs too big to
+    // collect; size statistics (+ AQE's runtime conversion) broadcast it
+    // when small and degrade to a shuffle join when not, the same contract
+    // as the key join below.
     val firstToks = dict0
       .groupBy(split(col("key"), " ").getItem(0).as("tok1"))
       .agg(max(col("_kw")).as("maxw"))
@@ -265,7 +278,7 @@ object mentions {
       .select(col("conv_id"), col("turn_idx"), col("toks"),
         explode(sequence(lit(1), size(col("toks")))).as("start"))
       .withColumn("tok1", element_at(col("toks"), col("start")))
-      .join(broadcast(firstToks), Seq("tok1"))
+      .join(firstToks, Seq("tok1"))
       .select(col("conv_id"), col("turn_idx"), col("toks"), col("start"),
         explode(sequence(lit(1),
           least(least(col("maxw"), lit(effMaxWords)),

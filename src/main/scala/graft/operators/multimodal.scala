@@ -108,7 +108,11 @@ object multimodal {
           if (i + 16 > p.length) return Unknown
           return MediaHeader("wav", 0, 0, le16(p, i + 10), le32(p, i + 12))
         }
-        if (sz < 0) return Unknown
+        // a chunk can never extend past the payload that contains it — and
+        // advancing by an unchecked 32-bit size would overflow the Int
+        // cursor into negative territory (the loop guard passes for
+        // negative i, so p(i) would then throw instead of degrading)
+        if (sz < 0 || sz > p.length - i - 8) return Unknown
         i += 8 + sz + (sz & 1) // chunks are word-aligned
       }
       return Unknown

@@ -120,6 +120,15 @@ class MentionsSpec extends SparkSuite {
     assert(a.head._4 == new Timestamp(100L)) // min ts survives, deterministically
   }
 
+  test("stabilize: a map-typed extra column still analyzes (excluded from the survivor sort)") {
+    import org.apache.spark.sql.functions.{col, map, lit}
+    val df = Seq(("c1", 0, "src", "e1", "s"))
+      .toDF("conv_id", "turn_idx", "onto", "class_iri", "surface")
+      .withColumn("attrs", map(lit("k"), lit("v"))) // unorderable type
+    val out = mentions.stabilize(df)
+    assert(out.columns.contains("attrs") && out.count() == 1)
+  }
+
   test("stabilize: two distinct surfaces for one (turn, entity) collapse to min(surface) deterministically") {
     val mens = Seq(
       // same (conv, turn, onto, entity) matched via two different surfaces

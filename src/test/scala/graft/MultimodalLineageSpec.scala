@@ -54,6 +54,14 @@ class MultimodalLineageSpec extends SparkSuite {
     assert(parseHeader(multimodal.jpegBytes(10, 10).take(5)).format == "unknown")
     // JPEG with EOI before any SOF carries no dimensions
     assert(parseHeader(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).format == "unknown")
+    // WAV with a near-Int.MaxValue chunk size: the cursor advance must not
+    // overflow into a negative index (would throw instead of degrading)
+    val evil = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(16)
+    evil.put("WAVE".getBytes("US-ASCII"))
+    evil.put("junk".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+    evil.putInt(0)
+    assert(parseHeader(evil.array()).format == "unknown")
   }
 
   test("headerMeta: typed mapPartitions parse over a binary column") {
