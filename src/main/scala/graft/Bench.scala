@@ -139,8 +139,13 @@ object Bench {
     val classes = spark.read.parquet(s"$dir/classes").as[ClassText]
     val edges = spark.read.parquet(s"$dir/edges").as[Edge]
     val t0 = System.nanoTime()
+    // production index path (the flagship contract): a real WordPiece
+    // vocab induced from the catalog — timed INSIDE the run, it is part
+    // of what the pipeline costs (catalog-dimension: a tiny histogram job
+    // + a driver-local merge loop)
     val (_, triples) = Pipeline.run(spark, turns, classes, edges,
-      Pipeline.Params(linker = linker))
+      Pipeline.Params(linker = linker,
+        wordpieceVocab = Some(Pipeline.induceCatalogVocab(spark, classes))))
     val nTriples = triples.count()
     val dt = (System.nanoTime() - t0) / 1e9
     PipeRun(dt, turns.count(), nTriples)

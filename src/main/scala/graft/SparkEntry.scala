@@ -396,10 +396,15 @@ object SparkEntry {
 
     // --- text analysis -------------------------------------------------------
     // --- seeded k-means centroid fit (the IVF trainer): content-keyed
-    // init, 2 fixed Lloyd rounds, all-integer update arithmetic ----------
+    // init, 2 fixed Lloyd rounds, all-integer update arithmetic. Emitted
+    // in exploded scalar form (the q41 pattern): the driver's pandas
+    // canonicalizer cannot sort array cells ------------------------------
     "q55_kmeans_fit" -> ((s, dir) =>
       similarity.kmeansFit(t(s, dir, "embeddings").filter(col("vec_id") < 200),
-        "vec_id", "embedding", 4, 2)),
+        "vec_id", "embedding", 4, 2)
+        .select(col("cell"), col("n_assigned"),
+          posexplode(col("centroid")).as(Seq("pos", "cval")))
+        .withColumn("pos", col("pos").cast("long"))),
 
     // --- fitted IVF end-to-end: kmeansFit centroids feed ivfTopK — the
     // whole self-contained ANN story (train + assign + probe + top-k) as
@@ -611,10 +616,15 @@ object SparkEntry {
     "q40g_golden_prf" -> ((s, dir) => {
       val cfg = graft.sources.fixtures.tiny
       val refs = graft.sources.fixtures.refMappings(s, cfg)
+      val classes = graft.sources.fixtures.classes(s, cfg)
+      // the production index path (flagship contract): real induced
+      // WordPiece vocab, same as Pipeline.flagship
       val (mappings, _) = Pipeline.run(s,
         graft.sources.fixtures.transcripts(s, cfg),
-        graft.sources.fixtures.classes(s, cfg),
-        graft.sources.fixtures.edges(s, cfg))
+        classes,
+        graft.sources.fixtures.edges(s, cfg),
+        Pipeline.Params(wordpieceVocab =
+          Some(Pipeline.induceCatalogVocab(s, classes))))
       val ref = refs.filter(!col("is_ignored")).select("entity1", "entity2", "value")
       val ign = refs.filter(col("is_ignored")).select("entity1", "entity2", "value")
       val sweep = evalmod.thresholdSweep(s, mappings, ref, ign)
@@ -634,6 +644,32 @@ object SparkEntry {
     // are now hash-compared by the driver, not just counted. -------------
     "q40t_triples_hash" -> ((s, dir) => {
       val trip = Pipeline.flagship(s)
+      val rowKey = concat_ws("\u0001", col("subj"), col("pred"), col("obj"),
+        round(col("score"), 6).cast("string"))
+      val h = pmod(conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long"),
+        lit(2147483648L))
+      trip.agg(
+        count(lit(1)).as("n_triples"),
+        sum(when(col("pred") === "sameAs", 1L).otherwise(0L)).as("n_sameas"),
+        sum(when(col("pred") === "mentions", 1L).otherwise(0L)).as("n_mentions"),
+        sum(when(col("pred") === "broader", 1L).otherwise(0L)).as("n_broader"),
+        sum(h).as("hash_sum"))
+    }),
+
+    // --- index-tokenizer cross-path gate: the flagship now runs the
+    // PRODUCTION index path (real induced WordPiece vocab — q40/q40g/q40t);
+    // this query runs the identical pipeline on the vocab-free sub-word
+    // splitter (the no-vocab fallback) and digests its triples. The oracle
+    // pins the SAME constants as q40t: on the fixture the two index paths
+    // must land the identical triple set, so the fallback keeps driver
+    // coverage and any divergence between the tokenizer paths turns a
+    // constant red --------------------------------------------------------
+    "q61_subword_flagship" -> ((s, dir) => {
+      val cfg = graft.sources.fixtures.tiny
+      val (_, trip) = Pipeline.run(s,
+        graft.sources.fixtures.transcripts(s, cfg),
+        graft.sources.fixtures.classes(s, cfg),
+        graft.sources.fixtures.edges(s, cfg))
       val rowKey = concat_ws("\u0001", col("subj"), col("pred"), col("obj"),
         round(col("score"), 6).cast("string"))
       val h = pmod(conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long"),
@@ -1448,12 +1484,18 @@ object SparkEntry {
         // the fixed 2-iteration Lloyd loop unrolled (the q39 pattern):
         // fixed-point vectors, cosine assignment with cell-asc tie-break,
         // integer mean update (BIGINT sum, truncating //), empty cells
-        // keep the previous centroid
+        // keep the previous centroid; exploded to scalar (cell, pos, cval,
+        // n_assigned) rows — the driver canonicalizer requires scalar
+        // columns (see COVERAGE.md packaging contract)
         s"""WITH $kmeansVecCte,
-           |$kmeansCtes
-           |SELECT p.cell, COALESCE(n.n, CAST(0 AS BIGINT)) AS n_assigned,
-           |  COALESCE(n.c, p.c) AS centroid
-           |FROM c1 p LEFT JOIN c2n n USING (cell)""".stripMargin
+           |$kmeansCtes,
+           |fin AS (
+           |  SELECT p.cell, COALESCE(n.n, CAST(0 AS BIGINT)) AS n_assigned,
+           |    COALESCE(n.c, p.c) AS centroid
+           |  FROM c1 p LEFT JOIN c2n n USING (cell))
+           |SELECT f.cell, f.n_assigned, CAST(s.p - 1 AS BIGINT) AS pos,
+           |  f.centroid[s.p] AS cval
+           |FROM fin f, unnest(generate_series(1, len(f.centroid))) AS s(p)""".stripMargin
       },
 
       "q57_ivf_fitted" -> {
@@ -1651,6 +1693,17 @@ object SparkEntry {
         // constants of the code, same argument as q40g: partition-invariant
         // pipeline (DeterminismSpec) × seed-42 fixture ⇒ the triple multiset
         // digest is fixed; any change to the emitted triples moves hash_sum
+        """SELECT CAST(476 AS BIGINT) AS n_triples,
+          |  CAST(100 AS BIGINT) AS n_sameas, CAST(280 AS BIGINT) AS n_mentions,
+          |  CAST(96 AS BIGINT) AS n_broader,
+          |  CAST(485655843568 AS BIGINT) AS hash_sum""".stripMargin
+      },
+
+      "q61_subword_flagship" -> {
+        // SAME constants as q40t by design: the vocab-free sub-word index
+        // (fallback) must land the identical flagship triple set as the
+        // production induced-WordPiece index (ProbeWp: digest invariant
+        // across nMerges 30/100/400 and the splitter path)
         """SELECT CAST(476 AS BIGINT) AS n_triples,
           |  CAST(100 AS BIGINT) AS n_sameas, CAST(280 AS BIGINT) AS n_mentions,
           |  CAST(96 AS BIGINT) AS n_broader,

@@ -102,13 +102,24 @@ object similarity {
    *
    * Returns (cell: int, n_assigned: long, centroid: array<bigint>) in the
    * 10^6 fixed-point domain; `fitCentroidsForIvf` converts for `ivfTopK`.
-   * At 100 TB, fit on a deterministic sample (filter on pmod(md5(id), N))
+   *
+   * FIT CONTRACT: the fit Lloyd-iterates over the FULL `vectors` input —
+   * every round broadcasts the k centroids against every row. At 100 TB a
+   * caller must fit on a deterministic sample (filter on pmod(md5(id), N))
    * — the plan is unchanged, only the input shrinks; each iteration is one
    * broadcast-join pass + one (cell, pos)-keyed agg, k·dim rows of state.
+   * `maxFitRows` enforces this loudly: a fit over more rows than the guard
+   * fails fast instead of silently running `iters` full-corpus passes.
    */
   def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int, maxFitRows: Long = 2000000L): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val nFit = vectors.count()
+    require(nFit <= maxFitRows,
+      s"kmeansFit over $nFit rows > maxFitRows=$maxFitRows: the fit runs " +
+        s"$iters full passes over its input — fit on a deterministic sample " +
+        "(e.g. filter on pmod(conv(substring(md5(id),1,15),16,10), N) = 0) " +
+        "and assign the full set afterwards, or raise maxFitRows explicitly")
     val v = vectors
       .select(col(idCol).cast("string").as("id"), toFixedPoint(col(vecCol)).as("v"))
     // distributed top-k by content hash; the k-row window that numbers the

@@ -55,17 +55,160 @@ object vocab {
       .select(explode(text.wordTokensCol(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Spark SQL string ordering (UTF8String.compareTo = unsigned byte-wise
+    * UTF-8): the driver-local merge loop must break argmax ties exactly
+    * like the distributed `orderBy(col("a").asc)` or the two paths
+    * diverge on non-ASCII symbols (String.compareTo is UTF-16-code-unit
+    * ordered, which disagrees with UTF-8 bytes above the BMP). */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def utf8Cmp(x: String, y: String): Int =
+    if (x == y) 0 else if (utf8Lt(x, y)) -1 else 1
+
+  /** Driver-local BPE merge loop over a collected histogram — exact same
+    * semantics as the distributed loop (weighted adjacent-pair counts
+    * including overlapping occurrences, `minCount` floor, (count desc,
+    * left asc, right asc) tie-break in UTF-8 byte order, left-to-right
+    * non-overlapping application), proven ≡ by VocabSpec.
+    *
+    * Incremental trainer, the classic fast-BPE structure: pair counts and
+    * a pair→word-index map are built once; each round pops the argmax off
+    * a lazily-invalidated max-heap (a popped snapshot is valid iff it
+    * equals the pair's live count) and re-derives pair deltas only for the
+    * words that actually contain the merged pair. Per-round cost is
+    * O(affected words × length), not O(histogram). Zero Spark jobs. */
+  private[graft] def learnMergesLocal(histRows: Array[(String, Long)],
+      nMerges: Int, minCount: Long): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val init = histRows.iterator
+      .map { case (w, c) => (initSymbols(w).toArray, c) }
+      .filter(_._1.nonEmpty).toArray
+    val syms: Array[Array[String]] = init.map(_._1)
+    val wcnt: Array[Long] = init.map(_._2)
+    val counts = new mutable.AnyRefMap[(String, String), Long]()
+    // word indices that contained the pair at SOME point (lazily pruned:
+    // membership is re-verified against the live symbols on use)
+    val where = new mutable.AnyRefMap[(String, String), mutable.ArrayBuffer[Int]]()
+
+    def addPairs(wi: Int, sign: Long,
+                 touched: mutable.HashSet[(String, String)]): Unit = {
+      val s = syms(wi)
+      val c = wcnt(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        counts.updateWith(p)(o => Some(o.getOrElse(0L) + c))
+        if (sign > 0) where.getOrElseUpdate(p, mutable.ArrayBuffer[Int]()) += wi
+        if (touched != null) touched += p
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addPairs(wi, 1L, null); wi += 1 }
+
+    // max-heap: highest count first, then SMALLEST (left, right) — the
+    // distributed loop's (n desc, a asc, b asc) argmax order
+    val heapOrd: Ordering[(Long, String, String)] =
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+        else {
+          val ca = utf8Cmp(x._2, y._2)
+          if (ca != 0) -ca else -utf8Cmp(x._3, y._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    counts.foreachEntry((k, n) => if (n >= minCount) heap.enqueue((n, k._1, k._2)))
+
+    val merges = mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      var found: (String, String, Long) = null
+      while (found == null && heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        // stale snapshots are dropped, not re-pushed: a fresh snapshot was
+        // enqueued the moment the live count changed
+        if (n >= minCount && counts.getOrElse((a, b), 0L) == n)
+          found = (a, b, n)
+      }
+      if (found == null) exhausted = true
+      else {
+        val (a, b, n) = found
+        val merged = a + b.stripPrefix("##")
+        merges += ((round + 1, a, b, merged, n))
+        val touched = new mutable.HashSet[(String, String)]()
+        val affected = where.getOrElse((a, b), mutable.ArrayBuffer.empty)
+        var j = 0
+        while (j < affected.length) {
+          val w = affected(j)
+          val s = syms(w)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i) == a && s(i + 1) == b) has = true
+            i += 1
+          }
+          if (has) {
+            addPairs(w, -1L, touched)
+            // mergeAdjacent is the single shared application kernel
+            // (also used by the distributed UDF path)
+            syms(w) = mergeAdjacent(s.toIndexedSeq, a, b).toArray
+            addPairs(w, 1L, touched)
+          }
+          j += 1
+        }
+        where.remove((a, b))
+        touched.foreach { p =>
+          val cur = counts.getOrElse(p, 0L)
+          if (cur <= 0L) { counts.remove(p); where.remove(p) }
+          else if (cur >= minCount) heap.enqueue((cur, p._1, p._2))
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /**
    * Learn `nMerges` BPE merges from a word histogram. Returns
    * (merge_ord, left, right, merged, pair_count) — the merge table IS the
    * tokenizer model; `vocabFrom` turns it into the piece set
    * `text.wordpieceTokensCol` consumes. Stops early when no adjacent pair
    * occurs at least `minCount` times.
+   *
+   * Two execution paths, bit-identical (VocabSpec): when the histogram has
+   * at most `maxLocalHistWords` distinct words — vocabularies are
+   * catalog-sized, so this is the normal case even for a 10^12-turn corpus
+   * — it is collected ONCE behind the guard and the merge loop runs
+   * driver-local (a 1,000-merge induction is seconds, not 1,000 Spark jobs
+   * + materializations). Larger histograms take the distributed loop: one
+   * small Spark job per merge over the histogram, corpus-size-independent
+   * but driver-latency-bound. BPE merges are sequentially dependent — the
+   * loop itself cannot fan out; what scales is keeping it OFF the
+   * transcript table (`wordHistogram` is the only corpus-proportional job).
    */
   def learnMerges(spark: SparkSession, hist: DataFrame, nMerges: Int,
-                  minCount: Long = 2L): DataFrame = {
+                  minCount: Long = 2L,
+                  maxLocalHistWords: Long = 5000000L): DataFrame = {
     import spark.implicits._
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    if (hist.count() <= maxLocalHistWords) {
+      val rows = hist.select(col("word").cast("string"), col("cnt").cast("long"))
+        .as[(String, Long)].collect()
+      return learnMergesLocal(rows, nMerges, minCount)
+        .toDF("merge_ord", "left", "right", "merged", "pair_count")
+    }
     val toSym = udf((w: String) => initSymbols(w))
     var sym = graft.plans.stage.materialize(
       hist.select(toSym(col("word")).as("sym"), col("cnt"))

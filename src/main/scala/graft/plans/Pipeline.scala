@@ -301,13 +301,36 @@ object Pipeline {
     (repaired, trip)
   }
 
-  /** Tiny flagship for the driver smoke-check (rows>0 at sf0.001-ish scale). */
+  /** A real WordPiece vocab induced from the catalog's OWN label words
+    * (wordHistogram → BPE merges → piece set): the production index
+    * tokenizer, mirroring the reference's always-real-vocab flagship
+    * (onto_index.py:38-47) without an external checkpoint file. The
+    * histogram is catalog-dimension (never transcript-proportional), the
+    * merge loop runs driver-local behind `learnMerges`' size guard, and
+    * the result is a pure function of the catalog — deterministic at any
+    * parallelism (VocabSpec). */
+  def induceCatalogVocab(spark: SparkSession, classes: Dataset[ClassText],
+                         nMerges: Int = 200): Set[String] = {
+    val hist = classes.toDF()
+      .select(explode(text.normalizeLabelsCol(col("labels"))).as("label"))
+      .select(explode(text.wordTokensCol(col("label"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    vocab.vocabFrom(spark, hist, vocab.learnMerges(spark, hist, nMerges))
+  }
+
+  /** Tiny flagship for the driver smoke-check (rows>0 at sf0.001-ish
+    * scale). Runs the PRODUCTION index path: a real induced WordPiece
+    * vocab, not the vocab-free splitter (which remains the no-vocab
+    * fallback). PipelineE2ESpec + the q40g/q40t constants pin that this
+    * path reproduces the flagship mapping quality and triple set. */
   def flagship(spark: SparkSession): DataFrame = {
     val cfg = fixtures.tiny
+    val classes = fixtures.classes(spark, cfg)
     val (_, trip) = run(spark,
       fixtures.transcripts(spark, cfg),
-      fixtures.classes(spark, cfg),
-      fixtures.edges(spark, cfg))
+      classes,
+      fixtures.edges(spark, cfg),
+      Params(wordpieceVocab = Some(induceCatalogVocab(spark, classes))))
     trip
   }
 }

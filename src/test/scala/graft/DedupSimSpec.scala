@@ -142,6 +142,19 @@ class DedupSimSpec extends SparkSuite {
     assert(doms == Set(0, 1))
   }
 
+  test("kmeansFit refuses a fit larger than maxFitRows (sample contract)") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vid", "vec")
+    val e = intercept[IllegalArgumentException] {
+      similarity.kmeansFit(vecs, "vid", "vec", 2, 2, maxFitRows = 2L)
+    }
+    assert(e.getMessage.contains("maxFitRows"))
+    // at the guard boundary the fit still runs
+    assert(similarity.kmeansFit(vecs, "vid", "vec", 2, 2, maxFitRows = 3L)
+      .count() == 2L)
+  }
+
   test("kmeansFit centroids feed ivfTopK (self-contained IVF)") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)), (3L, Seq(0.9f, 0.1f)),

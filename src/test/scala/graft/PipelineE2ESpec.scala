@@ -105,6 +105,29 @@ class PipelineE2ESpec extends SparkSuite {
       s"sameAs=${sameAs.size} >= natural=$natural: alignment chain re-ran despite precomputedRaw")
   }
 
+  test("production path: flagship runs a real INDUCED WordPiece vocab at P/R = 1.0") {
+    // the de-facto production index path (Pipeline.flagship, q40-family,
+    // Bench): vocab induced from the catalog's own label words. Must be a
+    // genuine sub-word vocab, hit full mapping quality, and land the same
+    // triple set as the vocab-free splitter fallback on this fixture.
+    val v = Pipeline.induceCatalogVocab(spark, classes, nMerges = 100)
+    assert(v.exists(_.startsWith("##")), "vocab has no continuation pieces")
+    assert(v.exists(p => p.length > 2 && !p.startsWith("##")),
+      "no learned multi-char pieces")
+    val (mappings, trip) = Pipeline.run(spark, turns, classes, edges,
+      Pipeline.Params(wordpieceVocab = Some(v)))
+    val ref = refs.filter(!$"is_ignored").select("entity1", "entity2", "value")
+    val ign = refs.filter($"is_ignored").select("entity1", "entity2", "value")
+    val best = evalmod.bestByF1(evalmod.thresholdSweep(spark, mappings, ref, ign)).head()
+    assert(best.getAs[Double]("p") >= 0.95 && best.getAs[Double]("r") >= 0.95,
+      s"induced-vocab flagship P/R below gate: $best")
+    val wpSet = trip.as[(String, String, String, Double)].collect().toSet
+    val defSet = result._2.as[(String, String, String, Double)].collect().toSet
+    assert(wpSet == defSet,
+      s"induced-vocab triples diverge from splitter fallback: " +
+        s"only-wp=${(wpSet -- defSet).take(3)} only-def=${(defSet -- wpSet).take(3)}")
+  }
+
   test("wordpieceVocab: a whole-word vocab reproduces the word-tokenizer pipeline exactly") {
     // greedy longest-match against a vocab containing every catalog word
     // matches each word whole — so the wordpiece-indexed pipeline must be

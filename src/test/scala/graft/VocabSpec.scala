@@ -54,6 +54,32 @@ class VocabSpec extends SparkSuite {
     assert(text.wordpieceTokens(v, "xyz") == Seq(text.WordpieceUnk))
   }
 
+  test("driver-local merge loop ≡ distributed loop (incl. early stop)") {
+    // a histogram with ties, repeats-within-word, multi-char growth and an
+    // exhaustion point; maxLocalHistWords = -1 forces the distributed path
+    val hist = (classicHist ++ Seq(
+      ("slowest", 4L), ("lowly", 3L), ("aaaa", 2L), ("banana", 2L), ("q", 9L)))
+      .toDF("word", "cnt")
+    val local = vocab.learnMerges(spark, hist, 40)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+    val dist = vocab.learnMerges(spark, hist, 40, maxLocalHistWords = -1L)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+    assert(local == dist, s"paths diverge:\nlocal=$local\ndist =$dist")
+    assert(local.nonEmpty && local.size < 40) // early stop exercised
+  }
+
+  test("utf8Lt matches Spark's binary string ordering on awkward cases") {
+    // supplementary-plane chars sort ABOVE ￿ in UTF-8 bytes but BELOW
+    // it in UTF-16 code units — the case that breaks String.compareTo
+    val cases = Seq("a", "ab", "##a", "￿", "😀" /* 😀 */, "zé", "")
+    for (x <- cases; y <- cases) {
+      // expected = what Spark's orderBy actually does on this pair
+      val sorted = Seq(x, y).toDF("s").orderBy($"s").as[String].collect().toList
+      val expectLt = x != y && sorted == List(x, y)
+      assert(vocab.utf8Lt(x, y) == expectLt, s"utf8Lt('$x','$y')")
+    }
+  }
+
   test("wordHistogram: one transcript-proportional aggregation") {
     val docs = Seq((1L, "low low newest"), (2L, "newest!")).toDF("doc_id", "text")
     val h = vocab.wordHistogram(docs, "text")
