@@ -259,15 +259,18 @@ object Bench {
     // maxDictEntities — as its own (N, 4N) scaling pair on the SAME
     // fixture, with one trie sample adjacent to the join-high run so the
     // join-vs-trie ratio is a same-window comparison, not cross-weather.
-    // SAME noise-rejection protocol as the main scaling pair: two
-    // interleaved [L → H → trie] blocks, the reported pair is the block
-    // with min combined join wall time (noise only inflates — min-total
-    // selects the cleanest window without biasing the ratio), and every
-    // sample lands in the artifact so a noisy committed number is
-    // self-diagnosing instead of gate-breaking.
+    // SAME noise-rejection rule as salt_probe: interleaved multi-sample
+    // blocks of [L → H → trie], then MIN PER ARM across blocks. Host
+    // noise here only ever INFLATES a sample (episodic stalls), so the
+    // minimum of each arm is the cleanest estimate of its true wall and
+    // the ratio of minima the cleanest estimate of the true ratio —
+    // robust even when stalls land in OPPOSITE arms of different blocks
+    // (which is exactly how round 4 committed a sub-gate 0.674: one
+    // block, high arm stalled). Every sample lands in the artifact
+    // (samples_low/high/trie + per-block effs) so any residual noise is
+    // self-diagnosing rather than gate-breaking.
     final case class JlBlock(l: Sample, h: Sample, trie: Sample) {
       def eff: Double = (l.seconds / h.seconds) / 4.0
-      def combined: Double = l.seconds + h.seconds
     }
     val jlBlocks = (1 to sys.env.getOrElse("SPARK_GRAFT_JL_BLOCKS", "2").toInt)
       .map { _ =>
@@ -276,9 +279,10 @@ object Bench {
         val t = forkOne(scaleHigh, scaleDir, 1)
         JlBlock(l, h, t)
       }
-    val jlBest = jlBlocks.minBy(_.combined)
-    val (jlL, jlH, trieAdj) = (jlBest.l, jlBest.h, jlBest.trie)
-    val jlEff = jlBest.eff
+    val jlL = jlBlocks.map(_.l).minBy(_.seconds)
+    val jlH = jlBlocks.map(_.h).minBy(_.seconds)
+    val trieAdj = jlBlocks.map(_.trie).minBy(_.seconds)
+    val jlEff = (jlL.seconds / jlH.seconds) / 4.0
     val jlVsTrie = jlH.seconds / trieAdj.seconds
     // headline throughput at full width on the big fixture
     val full = forkOne(cpus, fixtureDir, 2)
@@ -424,7 +428,7 @@ object Bench {
     val jlSamples =
       f""""samples_low":${listJson(jlBlocks.map(_.l.seconds).toList)},"samples_high":${listJson(jlBlocks.map(_.h.seconds).toList)},"samples_trie":${listJson(jlBlocks.map(_.trie.seconds).toList)},"effs":${listJson(jlBlocks.map(_.eff).toList)}"""
     val fallbackJson =
-      f""""fallback":{"join_linker":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"turns":${jlH.turns},"sec_low":${jlL.seconds}%.3f,"sec_high":${jlH.seconds}%.3f,"scaling_efficiency":$jlEff%.3f,"sec_trie_adjacent_high":${trieAdj.seconds}%.3f,"vs_trie":$jlVsTrie%.2f,$jlSamples,"stage_low":${jlL.stageJson},"stage_high":${jlH.stageJson}},"salt_probe":{"docs":40000,"hot_df":20000,"queries":2000,"sec_unsalted":$saltU%.3f,"sec_salted":$saltS%.3f,"speedup":${saltU / saltS}%.2f,"samples_unsalted":${listJson(saltUs)},"samples_salted":${listJson(saltSs)}},"salt_probe_zipf":{"docs":40000,"zipf_tokens":200,"head_df_frac":0.13,"queries":2000,"sec_unsalted":$zipfU%.3f,"sec_salted":$zipfS%.3f,"salted_vs_unsalted":${zipfS / zipfU}%.2f,"samples_unsalted":${listJson(zipfUs)},"samples_salted":${listJson(zipfSs)}}}"""
+      f""""fallback":{"join_linker":{"cores_low":$scaleLow,"cores_high":$scaleHigh,"turns":${jlH.turns},"sec_low":${jlL.seconds}%.3f,"sec_high":${jlH.seconds}%.3f,"scaling_efficiency":$jlEff%.3f,"selection":"min_per_arm","sec_trie_adjacent_high":${trieAdj.seconds}%.3f,"vs_trie":$jlVsTrie%.2f,$jlSamples,"stage_low":${jlL.stageJson},"stage_high":${jlH.stageJson}},"salt_probe":{"docs":40000,"hot_df":20000,"queries":2000,"sec_unsalted":$saltU%.3f,"sec_salted":$saltS%.3f,"speedup":${saltU / saltS}%.2f,"samples_unsalted":${listJson(saltUs)},"samples_salted":${listJson(saltSs)}},"salt_probe_zipf":{"docs":40000,"zipf_tokens":200,"head_df_frac":0.13,"queries":2000,"sec_unsalted":$zipfU%.3f,"sec_salted":$zipfS%.3f,"salted_vs_unsalted":${zipfS / zipfU}%.2f,"samples_unsalted":${listJson(zipfUs)},"samples_salted":${listJson(zipfSs)}}}"""
 
     val batteryJson =
       f""""battery":{"cold_total":$coldTotal%.3f,"steady_total":$steadyTotal%.3f,"n_queries":${results.size}}"""
