@@ -166,6 +166,42 @@ object PlanCheck {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
 
+    // 12. decontaminate: the benchmark shingle-key set is the broadcast
+    // side — the (100 TB) training side must not shuffle before its
+    // per-doc overlap agg
+    check("decontaminate: bench shingle set broadcast",
+      wanted = Seq("BroadcastHashJoin", "HashAggregate")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.quality.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text", 3, 2L)
+    }
+
+    // 13. quotaSample: ranks are computed within (grp, md5-prefix bucket) —
+    // the rank window's exchange must key on the bucket too (a plain
+    // per-group window runs each domain on ONE task), and the tiny
+    // offsets/quotas joins stay broadcast
+    check("quotaSample: bucketed rank window + broadcast offsets/quotas",
+      wanted = Seq("_b", "BroadcastHashJoin", "Window")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val quotas = docs.select(col("source").as("grp")).distinct()
+        .withColumn("quota", when(length(col("grp")) === 4, 8).otherwise(4))
+      graft.operators.quality.quotaSample(docs, "doc_id", "source", quotas)
+    }
+
+    // 14. PQ ADC: the per-query LUT join stays broadcast — the candidate
+    // code table (the 10^10-row side at scale) is never the build side of
+    // the lookup
+    check("pqTopK: broadcast LUT join over the code table",
+      wanted = Seq("BroadcastHashJoin")) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cb = graft.operators.similarity.pqFitCodebooks(
+        e.filter(col("vec_id") < 200), "vec_id", "embedding", 2, 32, 4, 2)
+      val codes = graft.operators.similarity.pqEncode(e, cb, "vec_id", "embedding", 2, 32)
+      graft.operators.similarity.pqTopK(e.filter(col("vec_id") < 10), codes, cb,
+        "vec_id", "embedding", 5, 2, 32)
+    }
+
     // 8. Main-path: the observe() turns metric (CollectMetrics) must not
     // block the same pruning — the transcript scan under spark-submit reads
     // only (conv_id, turn_idx, text) even with the metric attached

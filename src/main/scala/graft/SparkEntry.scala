@@ -764,6 +764,54 @@ object SparkEntry {
       nes.alignOneSide(fromLab, toLab, toLab.count(),
           candidateLimit = 5, nbest = 1, fixedPointIdf = true)
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // --- product-quantized ANN: per-subspace kmeansFit codebooks → integer
+    // code table (the compression step: 64 floats → 2 codes) → ADC top-k
+    // against per-query lookup tables. The memory-bound 10^10-vector scale
+    // path, composed entirely from the fitted-k-means machinery ------------
+    "q65_pq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = similarity.pqFitCodebooks(e.filter(col("vec_id") < 200),
+        "vec_id", "embedding", 2, 32, 4, 2)
+      val codes = similarity.pqEncode(e, cb, "vec_id", "embedding", 2, 32)
+      similarity.pqTopK(e.filter(col("vec_id") < 10), codes, cb,
+          "vec_id", "embedding", 5, 2, 32)
+        .withColumn("adc_cosine", round(col("adc_cosine"), 6))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // --- Gopher-style repetition quality metrics: dup-word fraction (no
+    // shuffle), top-bigram and dup-bigram occupancy (narrow contentKey
+    // shuffles with map-side combine) — the filter signals a pretraining
+    // pipeline thresholds on ------------------------------------------------
+    "q62_repetition" -> ((s, dir) =>
+      quality.repetitionMetrics(wide(s, t(s, dir, "documents")), "doc_id", "text")
+        .withColumn("dup_word_frac", round(col("dup_word_frac"), 6))
+        .withColumn("top_bigram_frac", round(col("top_bigram_frac"), 6))
+        .withColumn("dup_bigram_frac", round(col("dup_bigram_frac"), 6))),
+
+    // --- deterministic per-domain quota sampling (domain mixing): rank by
+    // md5(id) within source via 256 md5-prefix range buckets (the skew-free
+    // formulation — no per-domain single-task window), keep <= quota, with
+    // per-domain quotas carried as data ------------------------------------
+    "q63_quota_sample" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val quotas = docs.select(col("source").as("grp")).distinct()
+        .withColumn("quota", when(length(col("grp")) === 4, 8).otherwise(4))
+      quality.quotaSample(docs, "doc_id", "source", quotas)
+    }),
+
+    // --- benchmark decontamination: training docs sharing >= 2 distinct
+    // word 3-shingles with the benchmark slice (doc_id % 20 == 0) are
+    // flagged; the benchmark shingle-key set is broadcast so the training
+    // side never shuffles ---------------------------------------------------
+    "q64_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      quality.decontaminate(
+        wide(s, docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", 3, 2L)
     })
   )
 
@@ -814,7 +862,10 @@ object SparkEntry {
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
         |  FROM embeddings WHERE vec_id < 200)""".stripMargin
-    val kmeansCtes = {
+    // Generator form so the PQ oracle (q65) can instantiate one unrolled
+    // Lloyd chain PER SUBSPACE with prefixed CTE names; q55/q57 use the
+    // unprefixed instance over the full `vec`.
+    def kmeansCtesFor(pfx: String, vecName: String, k: Int): String = {
       val xd = (c: String) => s"list_transform($c, e -> CAST(e AS DOUBLE))"
       val cos = (a: String, b: String) => {
         val den = s"(sqrt(list_dot_product(${xd(a)}, ${xd(a)})) * " +
@@ -823,29 +874,30 @@ object SparkEntry {
           s"list_dot_product(${xd(a)}, ${xd(b)}) / $den END)"
       }
       def round(i: Int, prevC: String) =
-        s"""a$i AS (
+        s"""${pfx}a$i AS (
            |  SELECT id, v, cell FROM (
            |    SELECT x.id, x.v, i.cell,
            |      ROW_NUMBER() OVER (PARTITION BY x.id
            |        ORDER BY ${cos("x.v", "i.c")} DESC, i.cell ASC) AS rk
-           |    FROM vec x CROSS JOIN $prevC i) t WHERE rk = 1),
-           |u$i AS (
+           |    FROM $vecName x CROSS JOIN $prevC i) t WHERE rk = 1),
+           |${pfx}u$i AS (
            |  SELECT a.cell, s.p AS pos,
            |    CAST(SUM(a.v[s.p]) AS BIGINT) // COUNT(*) AS cv,
            |    COUNT(*) AS cnt
-           |  FROM a$i a, unnest(generate_series(1, len(a.v))) AS s(p)
+           |  FROM ${pfx}a$i a, unnest(generate_series(1, len(a.v))) AS s(p)
            |  GROUP BY 1, 2),
-           |c${i}n AS (SELECT cell, list(cv ORDER BY pos) AS c, MAX(cnt) AS n
-           |           FROM u$i GROUP BY cell),
-           |c$i AS (SELECT p.cell, COALESCE(n.c, p.c) AS c
-           |        FROM $prevC p LEFT JOIN c${i}n n USING (cell))""".stripMargin
-      s"""init AS (
+           |${pfx}c${i}n AS (SELECT cell, list(cv ORDER BY pos) AS c, MAX(cnt) AS n
+           |           FROM ${pfx}u$i GROUP BY cell),
+           |${pfx}c$i AS (SELECT p.cell, COALESCE(n.c, p.c) AS c
+           |        FROM $prevC p LEFT JOIN ${pfx}c${i}n n USING (cell))""".stripMargin
+      s"""${pfx}init AS (
          |  SELECT CAST(rn AS INT) AS cell, v AS c FROM (
-         |    SELECT v, ROW_NUMBER() OVER (ORDER BY md5(id), id) AS rn FROM vec) t
-         |  WHERE rn <= 4),
-         |${round(1, "init")},
-         |${round(2, "c1")}""".stripMargin
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY md5(id), id) AS rn FROM $vecName) t
+         |  WHERE rn <= $k),
+         |${round(1, s"${pfx}init")},
+         |${round(2, s"${pfx}c1")}""".stripMargin
     }
+    val kmeansCtes = kmeansCtesFor("", "vec", 4)
     // WordPiece greedy-walk CTEs (q54/q58): require a prior CTE
     // `words(word)`; yield `pieces(word, token)` — the no-backtracking
     // longest-match walk with whole-word [UNK] (see q54 for the contract)
@@ -1806,7 +1858,85 @@ object SparkEntry {
            |  SELECT from_id, to_id, score,
            |    ROW_NUMBER() OVER (PARTITION BY from_id ORDER BY score DESC, to_id ASC) AS rnk
            |  FROM pooled) WHERE rnk <= 1""".stripMargin
-      }
+      },
+
+      "q65_pq_ann" ->
+        s"""WITH $kmeansVecCte,
+           |s0vec AS (SELECT id, v[1:32] AS v FROM vec),
+           |s1vec AS (SELECT id, v[33:64] AS v FROM vec),
+           |${kmeansCtesFor("s0", "s0vec", 4)},
+           |${kmeansCtesFor("s1", "s1vec", 4)},
+           |cb AS (
+           |  SELECT 0 AS subspace, cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM s0c2
+           |  UNION ALL
+           |  SELECT 1, cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) FROM s1c2),
+           |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |env AS (
+           |  SELECT id, 0 AS subspace, v[1:32] AS sv FROM allv
+           |  UNION ALL SELECT id, 1, v[33:64] FROM allv),
+           |enc AS (SELECT id, subspace, cell AS code FROM (
+           |  SELECT e.id, e.subspace, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY e.id, e.subspace ORDER BY
+           |      list_dot_product(e.sv, c.cv) / (sqrt(list_dot_product(e.sv, e.sv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           |      c.cell ASC) AS rk
+           |  FROM env e JOIN cb c USING (subspace)) t WHERE rk = 1),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+           |lut AS (
+           |  SELECT q.query_id, c.subspace, c.cell,
+           |    list_dot_product(CASE WHEN c.subspace = 0 THEN qv[1:32] ELSE qv[33:64] END, c.cv) AS dot,
+           |    list_dot_product(c.cv, c.cv) AS c2
+           |  FROM q CROSS JOIN cb c),
+           |qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+           |sc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.dot) AS sd, SUM(l.c2) AS sc2
+           |       FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.cell = e.code
+           |       GROUP BY 1, 2),
+           |r AS (SELECT s.query_id, s.cand_id, s.sd / (qn.qnorm * sqrt(s.sc2)) AS adc_cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.sd / (qn.qnorm * sqrt(s.sc2)) DESC, s.cand_id ASC) AS rnk
+           |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id)
+           |SELECT query_id, cand_id, round(adc_cosine, 6) AS adc_cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+      "q62_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS tt FROM documents),
+           |bg AS (SELECT doc_id,
+           |  ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
+           |  FROM base, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+           |cnt AS (SELECT doc_id, bgk, count(*) AS c FROM bg GROUP BY 1, 2),
+           |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n,
+           |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ FROM cnt GROUP BY 1)
+           |SELECT b.doc_id AS id, len(tt) AS n_words,
+           |  len(list_distinct(tt)) AS n_distinct_words,
+           |  round(CASE WHEN len(tt) = 0 THEN 0.0
+           |        ELSE 1.0 - CAST(len(list_distinct(tt)) AS DOUBLE) / len(tt) END, 6) AS dup_word_frac,
+           |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           |  COALESCE(p.top_bigram_n, 0) AS top_bigram_n,
+           |  round(COALESCE(CAST(p.top_bigram_n AS DOUBLE) / p.n_bigrams, 0.0), 6) AS top_bigram_frac,
+           |  round(COALESCE(CAST(p.dup_occ AS DOUBLE) / p.n_bigrams, 0.0), 6) AS dup_bigram_frac
+           |FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id""".stripMargin,
+
+      "q63_quota_sample" ->
+        // the Spark side's bucketed rank ≡ a plain per-group rank ordered by
+        // (md5(id), id): the bucket is the first two md5 hex digits, so
+        // (bucket, md5, id) ordering IS (md5, id) ordering
+        """WITH r AS (SELECT doc_id AS id, source AS grp,
+          |  ROW_NUMBER() OVER (PARTITION BY source
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+          |  FROM documents)
+          |SELECT id, grp, rnk FROM r
+          |WHERE rnk <= CASE WHEN length(grp) = 4 THEN 8 ELSE 4 END""".stripMargin,
+
+      "q64_decontaminate" ->
+        s"""WITH sh3 AS (
+           |  SELECT DISTINCT doc_id AS id, array_to_string(tt[g:g+2], ' ') AS shingle
+           |  FROM (SELECT doc_id, $toks AS tt FROM documents) d,
+           |       unnest(generate_series(1, len(tt)-2)) AS u(g)),
+           |shk AS (SELECT id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS shk FROM sh3),
+           |bench AS (SELECT DISTINCT shk FROM shk WHERE id % 20 = 0),
+           |ov AS (SELECT t.id, count(*) AS n_overlap FROM shk t JOIN bench b USING (shk)
+           |       WHERE t.id % 20 <> 0 GROUP BY 1)
+           |SELECT d.doc_id AS id, COALESCE(o.n_overlap, 0) AS n_overlap,
+           |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) >= 2 THEN 1 ELSE 0 END AS INT) AS contaminated
+           |FROM documents d LEFT JOIN ov o ON o.id = d.doc_id
+           |WHERE d.doc_id % 20 <> 0""".stripMargin
     )
   }
 }

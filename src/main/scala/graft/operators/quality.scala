@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.text
+
+/**
+ * Document-quality operators for large-scale training-data pipelines:
+ * repetition metrics (the Gopher-style "remove documents that repeat
+ * themselves" family), deterministic per-domain quota sampling (domain
+ * mixing), and benchmark decontamination (train/test n-gram overlap).
+ *
+ * Everything follows the repo's determinism contract: all hash material is
+ * md5 (engine-portable), every selection has a total-order tie-break, and
+ * fractions are exposed un-rounded so callers choose the boundary rounding.
+ */
+object quality {
+
+  /**
+   * Token-level repetition metrics per document — the signals a
+   * Gopher/FineWeb-style quality filter thresholds on:
+   *
+   *   - `dup_word_frac`: 1 − distinct/total words (computed without any
+   *     shuffle — `array_distinct` inside codegen);
+   *   - `top_bigram_frac`: occurrences of the most frequent word bigram
+   *     over all bigram occurrences;
+   *   - `dup_bigram_frac`: fraction of bigram occurrences whose bigram
+   *     occurs more than once in the document.
+   *
+   * Scale: the bigram statistics explode to one row per bigram OCCURRENCE,
+   * then aggregate by (id, bigram-key) — both aggregations get map-side
+   * partial combine, and the shuffle carries `dedup.contentKey` (8 bytes)
+   * instead of the bigram string, the same narrow-shuffle rationale as
+   * `ngramJaccardPairs`. Nothing is quadratic in document length (a pure
+   * higher-order-function formulation of top-bigram would be O(len²) per
+   * doc — wrong for 10k-token web documents).
+   */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = text.wordTokensCol(col(textCol))
+    val base = docs.select(col(idCol).as("id"), toks.as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(col("toks"))).cast("long"))
+    // one row per bigram occurrence (NOT distinct — counts are the point)
+    val bg = base.select(col("id"),
+      explode(
+        filter(
+          transform(col("toks"), (_, i) =>
+            when(i <= size(col("toks")) - 2,
+              array_join(slice(col("toks"), i + 1, lit(2)), " "))),
+          s => s.isNotNull)).as("bg"))
+      .select(col("id"), dedup.contentKey(col("bg")).as("bgk"))
+    val perDoc = bg.groupBy("id", "bgk").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigram_occ"))
+    base.select(col("id"), col("n_words"), col("n_distinct_words"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id"), col("n_words"), col("n_distinct_words"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct_words") / col("n_words"))
+          .as("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("top_bigram_n") / col("n_bigrams"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_bigram_occ") / col("n_bigrams"), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /**
+   * Deterministic per-group quota sampling — the domain-mixing selection a
+   * pretraining pipeline runs ("keep at most `quota_g` documents from
+   * domain g", with per-domain quotas as data): a uniform-without-
+   * replacement sample whose membership is a pure function of content
+   * (rank by md5(id), so the same documents are kept at any partitioning,
+   * any cluster size, any insertion order).
+   *
+   * `quotas` is a small (grp, quota) table — broadcast.
+   *
+   * Scale: a naive `Window.partitionBy(grp)` ranks each domain on ONE
+   * task — a web corpus has few domains and billions of rows per domain,
+   * so that window is the skew bottleneck. Instead the md5 keyspace is
+   * range-bucketed (first two hex digits → 256 buckets): ranks are
+   * computed within (grp, bucket) — 256× narrower windows — and promoted
+   * to global per-group ranks by adding the running offset of the
+   * preceding buckets, which is itself a window over the tiny
+   * (grp × 256)-row count table. Fully distributed: no driver collect
+   * (the `downsampleNegatives` cousin collects its offsets; here groups ×
+   * buckets stays a DataFrame so the operator scales with the number of
+   * domains too).
+   */
+  def quotaSample(docs: DataFrame, idCol: String, groupCol: String,
+                  quotas: DataFrame): DataFrame = {
+    val tagged = docs
+      .select(col(idCol).as("id"), col(groupCol).as("grp"))
+      .withColumn("_h", md5(col("id").cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val wOff = Window.partitionBy("grp").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy("grp", "_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select("grp", "_b", "_off")
+    val wB = Window.partitionBy("grp", "_b").orderBy(col("_h").asc, col("id").asc)
+    tagged
+      .withColumn("_r", row_number().over(wB))
+      .join(broadcast(offsets), Seq("grp", "_b"))
+      .withColumn("rnk", col("_off") + col("_r"))
+      .join(broadcast(quotas.select(col("grp"), col("quota"))), Seq("grp"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("id"), col("grp"), col("rnk"))
+  }
+
+  /**
+   * Benchmark decontamination: flag training documents sharing at least
+   * `minOverlap` distinct word k-shingles with ANY benchmark document —
+   * the standard pre-training hygiene pass against eval-set leakage.
+   *
+   * Returns every training document with its overlap count and a 0/1
+   * `contaminated` flag (clean documents kept — the caller filters, and a
+   * full outer record is what audits want).
+   *
+   * Scale: the benchmark side is eval suites — thousands of documents,
+   * millions of shingles — so its DISTINCT shingle-key set is broadcast
+   * and the 100 TB training side is never shuffled at all: shingle
+   * generation, the broadcast semi-ish join and the per-document count
+   * are one map-side pass plus one (id)-keyed partial-combined agg.
+   * Shingles travel as `dedup.contentKey` (8 bytes), never as strings.
+   */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 3, minOverlap: Long = 2L): DataFrame = {
+    val trainSh = dedup.shingles(train, idCol, textCol, k)
+      .select(col("id"), dedup.contentKey(col("shingle")).as("shk"))
+    val benchSh = dedup.shingles(bench, idCol, textCol, k)
+      .select(dedup.contentKey(col("shingle")).as("shk")).distinct()
+    val overlap = trainSh.join(broadcast(benchSh), Seq("shk"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol).as("id"))
+      .join(overlap, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
+  }
+}

@@ -189,4 +189,98 @@ object similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("cand_id"), col("cosine"), col("rank"))
   }
+
+  // -------------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-compression ANN scale path
+  // -------------------------------------------------------------------------
+
+  /**
+   * Fit one k-means codebook per subspace: the embedding is cut into `m`
+   * contiguous blocks of `subDim` and each block gets its own `kmeansFit`
+   * (same content-keyed init, fixed Lloyd rounds, all-integer update —
+   * deterministic at any partitioning). Returns (subspace, cell, cvec:
+   * array<double>) — the codebook `pqEncode`/`pqTopK` consume.
+   *
+   * Scale: codebooks are fit on a bounded sample (the `kmeansFit` contract,
+   * `maxFitRows`-guarded); the result is m·k rows — driver-trivial,
+   * broadcast everywhere downstream.
+   */
+  def pqFitCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                     m: Int, subDim: Int, k: Int, iters: Int,
+                     maxFitRows: Long = 2000000L): DataFrame = {
+    require(m > 0 && subDim > 0, s"need m > 0 and subDim > 0, got m=$m subDim=$subDim")
+    (0 until m).map { s =>
+      val sub = vectors.select(col(idCol).as("id"),
+        slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
+      fitCentroidsForIvf(kmeansFit(sub, "id", "sv", k, iters, maxFitRows))
+        .select(lit(s).as("subspace"), col("cell"), col("cvec"))
+    }.reduce(_ union _)
+  }
+
+  /**
+   * Encode every vector as `m` small integer codes — nearest codebook
+   * centroid per subspace (cosine, ties on cell ascending). Returns
+   * (id, subspace, code): the long-form PQ code table. This is the
+   * compression step: downstream similarity never touches the original
+   * vectors again — a 64-float embedding becomes m bytes of codes, the
+   * difference between an ANN index that fits in executor memory at
+   * 10^10 vectors and one that doesn't.
+   *
+   * One broadcast join (codebook is m·k rows) + one per-(id, subspace)
+   * bounded window — no shuffle of the vector table beyond its own width.
+   */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame,
+               idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("subspace", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sv", slice(col("v"), col("subspace") * subDim + 1, lit(subDim)))
+    val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
+    val w = Window.partitionBy("id", "subspace").orderBy(col("sim").desc, col("cell").asc)
+    v.join(broadcast(cb), Seq("subspace"))
+      .withColumn("sim", cosineCol(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("subspace"), col("cell").as("code"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes: the query stays exact,
+   * each candidate is its reconstruction x̂ = concat of its per-subspace
+   * centroids, and cos(q, x̂) decomposes into per-subspace lookup terms:
+   *
+   *   cos(q, x̂) = Σ_s dot(q_s, c_{s,code_s}) / (‖q‖ · sqrt(Σ_s ‖c_{s,code_s}‖²))
+   *
+   * so scoring a candidate is `m` additions against a per-query lookup
+   * table of m·k precomputed (dot, ‖c‖²) pairs — never a full-dimension
+   * dot product per candidate.
+   *
+   * Scale: the LUT is |queries|·m·k rows — broadcast; the only exchange
+   * over the candidate side carries (id, subspace, code) integer rows, and
+   * the per-(query, cand) sum has map-side partial aggregation. (FP note:
+   * the Σ_s sums are over m doubles; at m = 2 addition is a single
+   * commutative op — bit-exact under any execution order. Larger m keeps
+   * determinism in practice but a paranoid caller can fix the fold order
+   * by pivoting subspaces to columns.)
+   */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+    val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
+    val lut = broadcast(q).crossJoin(broadcast(cb))
+      .withColumn("sv", slice(col("qv"), col("subspace") * subDim + 1, lit(subDim)))
+      .select(col("query_id"), col("subspace"), col("cell"),
+        dotCol(col("sv"), col("cv")).as("dot"), dotCol(col("cv"), col("cv")).as("c2"))
+    val qn = q.select(col("query_id"), normCol(col("qv")).as("qnorm"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("cand_id").asc)
+    codes.join(broadcast(lut),
+        codes("subspace") === lut("subspace") && codes("code") === lut("cell"))
+      .groupBy(col("query_id"), codes("id").as("cand_id"))
+      .agg(sum(col("dot")).as("sd"), sum(col("c2")).as("sc2"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("adc_cosine", col("sd") / (col("qnorm") * sqrt(col("sc2"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("adc_cosine"), col("rank"))
+  }
 }

@@ -169,4 +169,62 @@ class DedupSimSpec extends SparkSuite {
       .select("cand_id").as[Long].collect().toSet
     assert(ivf == bf) // clean clusters: 1-probe IVF agrees with brute force
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization
+  // ---------------------------------------------------------------------
+
+  /** 4 distinct integer-valued vectors (dim 4, m=2 subspaces of 2): with
+    * n == k the content-keyed init picks all of them, Lloyd is the
+    * identity, each vector IS its own reconstruction — so ADC must equal
+    * the exact cosine (all arithmetic stays on exactly-representable
+    * integer doubles; 1e6 fixed-point is lossless on integers). */
+  private lazy val pqVecs = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+    (2L, Seq(4.0f, 3.0f, 2.0f, 1.0f)),
+    (3L, Seq(2.0f, 2.0f, 5.0f, 1.0f)),
+    (4L, Seq(9.0f, 1.0f, 1.0f, 7.0f))
+  ).toDF("vid", "vec")
+
+  test("pqFitCodebooks + pqEncode: one code per (id, subspace), codes identify the vector") {
+    val cb = similarity.pqFitCodebooks(pqVecs, "vid", "vec", 2, 2, 4, 2)
+    assert(cb.count() == 8) // m * k
+    val codes = similarity.pqEncode(pqVecs, cb, "vid", "vec", 2, 2)
+      .as[(Long, Int, Int)].collect()
+    assert(codes.length == 8) // m per vector
+    assert(codes.groupBy(c => (c._1, c._2)).forall(_._2.length == 1))
+    // with n == k every vector is a centroid: distinct vectors must land on
+    // distinct codes within each subspace where their subvectors differ
+    val bySub = codes.groupBy(_._2)
+    assert(bySub(0).map(_._3).distinct.length == 4)
+    assert(bySub(1).map(_._3).distinct.length == 4)
+  }
+
+  test("pqTopK ADC equals exact brute-force cosine when reconstruction is exact") {
+    val cb = similarity.pqFitCodebooks(pqVecs, "vid", "vec", 2, 2, 4, 2)
+    val codes = similarity.pqEncode(pqVecs, cb, "vid", "vec", 2, 2)
+    val q = pqVecs.filter($"vid" === 1L)
+    val adc = similarity.pqTopK(q, codes, cb, "vid", "vec", 3, 2, 2)
+      .select("cand_id", "adc_cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toList
+    val bf = similarity.bruteForceTopK(q, pqVecs, "vid", "vec", 3)
+      .select("cand_id", "cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toList
+    assert(adc.map(_._1) == bf.map(_._1), s"ADC ranking differs: $adc vs $bf")
+    adc.zip(bf).foreach { case ((_, a, _), (_, b, _)) =>
+      assert(math.abs(a - b) < 1e-12, s"ADC $a != exact $b")
+    }
+  }
+
+  test("pq chain is partition-invariant") {
+    def run(parts: Int) = {
+      val v = pqVecs.repartition(parts)
+      val cb = similarity.pqFitCodebooks(v, "vid", "vec", 2, 2, 4, 2)
+      val codes = similarity.pqEncode(v, cb, "vid", "vec", 2, 2)
+      similarity.pqTopK(v.filter($"vid" === 2L), codes, cb, "vid", "vec", 3, 2, 2)
+        .select("cand_id", "adc_cosine", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toList
+    }
+    assert(run(1) == run(5))
+  }
 }

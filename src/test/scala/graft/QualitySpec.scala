@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.quality
+import graft.functions.text
+
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------------
+  // repetitionMetrics — checked against a plain-Scala twin
+  // ---------------------------------------------------------------------
+
+  private def twinMetrics(s: String): (Long, Long, Double, Long, Long, Double, Double) = {
+    val toks = text.wordTokens(s)
+    val n = toks.size.toLong
+    val nd = toks.distinct.size.toLong
+    val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val counts = bgs.groupBy(identity).map(_._2.size.toLong)
+    val nb = bgs.size.toLong
+    val top = if (counts.isEmpty) 0L else counts.max
+    val dup = counts.filter(_ > 1).sum
+    (n, nd, if (n == 0) 0.0 else 1.0 - nd.toDouble / n, nb, top,
+      if (nb == 0) 0.0 else top.toDouble / nb,
+      if (nb == 0) 0.0 else dup.toDouble / nb)
+  }
+
+  private lazy val repDocs = Seq(
+    (1L, "the cat sat on the cat sat mat"),
+    (2L, "spark spark spark spark"),
+    (3L, "all distinct words here now"),
+    (4L, "one"),                       // single token: zero bigrams
+    (5L, "go go go stop go go")
+  ).toDF("doc_id", "text")
+
+  test("repetitionMetrics matches the plain-Scala twin per document") {
+    val got = quality.repetitionMetrics(repDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    val texts = repDocs.as[(Long, String)].collect().toMap
+    texts.foreach { case (id, s) =>
+      val (n, nd, dwf, nb, top, tbf, dbf) = twinMetrics(s)
+      val (gn, gnd, gdwf, gnb, gtop, gtbf, gdbf) = got(id)
+      assert(gn == n && gnd == nd && gnb == nb && gtop == top,
+        s"doc $id counts: got ${got(id)}, want ${twinMetrics(s)}")
+      assert(math.abs(gdwf - dwf) < 1e-9 && math.abs(gtbf - tbf) < 1e-9 &&
+        math.abs(gdbf - dbf) < 1e-9, s"doc $id fracs: got ${got(id)}, want ${twinMetrics(s)}")
+    }
+    // the degenerate fully-repeated doc maxes out every signal
+    assert(got(2L)._6 == 1.0 && got(2L)._7 == 1.0 && got(2L)._3 == 0.75)
+    // the all-distinct doc has zero repetition
+    assert(got(3L)._3 == 0.0 && got(3L)._7 == 0.0)
+  }
+
+  test("repetitionMetrics is partition-invariant") {
+    val a = quality.repetitionMetrics(repDocs.repartition(7), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = quality.repetitionMetrics(repDocs.coalesce(1), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---------------------------------------------------------------------
+  // quotaSample — bucketed rank ≡ plain (md5, id) rank; content-keyed
+  // ---------------------------------------------------------------------
+
+  private lazy val sampleDocs = (1L to 200L).map(i =>
+    (i, if (i % 3 == 0) "big" else "small")).toDF("doc_id", "src")
+  private lazy val quotas = Seq(("big", 5L), ("small", 3L)).toDF("grp", "quota")
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("quotaSample keeps exactly the quota-smallest md5 ranks per group") {
+    val got = quality.quotaSample(sampleDocs, "doc_id", "src", quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byGrp = got.groupBy(_._2)
+    assert(byGrp("big").size == 5 && byGrp("small").size == 3)
+    // twin: rank every id in the group by (md5(id), id), take the quota head
+    val ids = sampleDocs.as[(Long, String)].collect()
+    Seq(("big", 5), ("small", 3)).foreach { case (g, q) =>
+      val want = ids.filter(_._2 == g).map(_._1)
+        .sortBy(i => (md5Hex(i.toString), i)).take(q).toSet
+      assert(byGrp(g).map(_._1).toSet == want, s"group $g membership")
+      // ranks are 1..quota and consistent with the md5 order
+      assert(byGrp(g).map(_._3).sorted.toSeq == (1 to q).map(_.toLong))
+    }
+  }
+
+  test("quotaSample is partition-invariant (content-keyed membership)") {
+    val a = quality.quotaSample(sampleDocs.repartition(13), "doc_id", "src", quotas)
+      .orderBy("grp", "rnk").collect().toSeq
+    val b = quality.quotaSample(sampleDocs.coalesce(1), "doc_id", "src", quotas)
+      .orderBy("grp", "rnk").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---------------------------------------------------------------------
+  // decontaminate
+  // ---------------------------------------------------------------------
+
+  test("decontaminate flags train docs overlapping the benchmark shingles") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta zeta"),   // shares 2 3-shingles -> flagged
+      (2L, "beta gamma delta other words"),  // shares 1 ("beta gamma delta")...
+      (3L, "nothing in common at all"),
+      (4L, "alpha beta gamma delta epsilon") // identical: all 3 shingles
+    ).toDF("doc_id", "text")
+    val got = quality.decontaminate(train, bench, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // bench 3-shingles: {alpha beta gamma, beta gamma delta, gamma delta epsilon}
+    assert(got(1L) == (2L, 1))  // alpha beta gamma + beta gamma delta
+    assert(got(2L) == (1L, 0))  // beta gamma delta only — below minOverlap
+    assert(got(3L) == (0L, 0))
+    assert(got(4L) == (3L, 1))
+    assert(got.size == 4)       // clean docs are kept in the audit output
+  }
+}
