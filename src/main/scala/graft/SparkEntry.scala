@@ -781,6 +781,21 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // --- IVF + PQ: the production ANN composition — fitted coarse
+    // quantizer routes each query to 2 probed cells, fitted PQ codebooks
+    // score by ADC inside them only ----------------------------------------
+    "q66_ivfpq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val fit = e.filter(col("vec_id") < 200)
+      val coarse = similarity.fitCentroidsForIvf(
+        similarity.kmeansFit(fit, "vec_id", "embedding", 4, 2))
+      val cb = similarity.pqFitCodebooks(fit, "vec_id", "embedding", 2, 32, 4, 2)
+      similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, coarse, cb,
+          "vec_id", "embedding", 3, 2, 2, 32)
+        .withColumn("adc_cosine", round(col("adc_cosine"), 6))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // --- Gopher-style repetition quality metrics: dup-word fraction (no
     // shuffle), top-bigram and dup-bigram occupancy (narrow contentKey
     // shuffles with map-side combine) — the filter signals a pretraining
@@ -898,6 +913,35 @@ object SparkEntry {
          |${round(2, s"${pfx}c1")}""".stripMargin
     }
     val kmeansCtes = kmeansCtesFor("", "vec", 4)
+    // shared PQ CTE block (q65/q66): per-subspace Lloyd chains → `cb`
+    // codebook, `allv`/`env`/`enc` code table, `q`/`lut`/`qn` query-side
+    // lookup material. Requires the `vec` fit CTE in scope.
+    val pqCoreCtes =
+      s"""s0vec AS (SELECT id, v[1:32] AS v FROM vec),
+         |s1vec AS (SELECT id, v[33:64] AS v FROM vec),
+         |${kmeansCtesFor("s0", "s0vec", 4)},
+         |${kmeansCtesFor("s1", "s1vec", 4)},
+         |cb AS (
+         |  SELECT 0 AS subspace, cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM s0c2
+         |  UNION ALL
+         |  SELECT 1, cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) FROM s1c2),
+         |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |env AS (
+         |  SELECT id, 0 AS subspace, v[1:32] AS sv FROM allv
+         |  UNION ALL SELECT id, 1, v[33:64] FROM allv),
+         |enc AS (SELECT id, subspace, cell AS code FROM (
+         |  SELECT e.id, e.subspace, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.id, e.subspace ORDER BY
+         |      list_dot_product(e.sv, c.cv) / (sqrt(list_dot_product(e.sv, e.sv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |      c.cell ASC) AS rk
+         |  FROM env e JOIN cb c USING (subspace)) t WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT q.query_id, c.subspace, c.cell,
+         |    list_dot_product(CASE WHEN c.subspace = 0 THEN qv[1:32] ELSE qv[33:64] END, c.cv) AS dot,
+         |    list_dot_product(c.cv, c.cv) AS c2
+         |  FROM q CROSS JOIN cb c),
+         |qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q)""".stripMargin
     // WordPiece greedy-walk CTEs (q54/q58): require a prior CTE
     // `words(word)`; yield `pieces(word, token)` — the no-backtracking
     // longest-match walk with whole-word [UNK] (see q54 for the contract)
@@ -1862,31 +1906,7 @@ object SparkEntry {
 
       "q65_pq_ann" ->
         s"""WITH $kmeansVecCte,
-           |s0vec AS (SELECT id, v[1:32] AS v FROM vec),
-           |s1vec AS (SELECT id, v[33:64] AS v FROM vec),
-           |${kmeansCtesFor("s0", "s0vec", 4)},
-           |${kmeansCtesFor("s1", "s1vec", 4)},
-           |cb AS (
-           |  SELECT 0 AS subspace, cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM s0c2
-           |  UNION ALL
-           |  SELECT 1, cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) FROM s1c2),
-           |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-           |env AS (
-           |  SELECT id, 0 AS subspace, v[1:32] AS sv FROM allv
-           |  UNION ALL SELECT id, 1, v[33:64] FROM allv),
-           |enc AS (SELECT id, subspace, cell AS code FROM (
-           |  SELECT e.id, e.subspace, c.cell,
-           |    ROW_NUMBER() OVER (PARTITION BY e.id, e.subspace ORDER BY
-           |      list_dot_product(e.sv, c.cv) / (sqrt(list_dot_product(e.sv, e.sv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-           |      c.cell ASC) AS rk
-           |  FROM env e JOIN cb c USING (subspace)) t WHERE rk = 1),
-           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-           |lut AS (
-           |  SELECT q.query_id, c.subspace, c.cell,
-           |    list_dot_product(CASE WHEN c.subspace = 0 THEN qv[1:32] ELSE qv[33:64] END, c.cv) AS dot,
-           |    list_dot_product(c.cv, c.cv) AS c2
-           |  FROM q CROSS JOIN cb c),
-           |qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+           |$pqCoreCtes,
            |sc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.dot) AS sd, SUM(l.c2) AS sc2
            |       FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.cell = e.code
            |       GROUP BY 1, 2),
@@ -1894,6 +1914,35 @@ object SparkEntry {
            |  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.sd / (qn.qnorm * sqrt(s.sc2)) DESC, s.cand_id ASC) AS rnk
            |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id)
            |SELECT query_id, cand_id, round(adc_cosine, 6) AS adc_cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+      "q66_ivfpq_ann" -> {
+        // coarse quantizer = one more unrolled Lloyd chain (prefix g) over
+        // the FULL fixed-point vectors; candidates join the PQ score chain
+        // only through their coarse cell ∩ the query's probed cells
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH $kmeansVecCte,
+           |${kmeansCtesFor("g", "vec", 4)},
+           |gcen AS (SELECT cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS gcv FROM gc2),
+           |$pqCoreCtes,
+           |acell AS (SELECT id, cell FROM (
+           |  SELECT a.id, g.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY ${cos("a.v", "g.gcv")} DESC, g.cell ASC) AS rk
+           |  FROM allv a CROSS JOIN gcen g) t WHERE rk = 1),
+           |probes AS (SELECT query_id, cell FROM (
+           |  SELECT q.query_id, g.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "g.gcv")} DESC, g.cell ASC) AS rk
+           |  FROM q CROSS JOIN gcen g) t WHERE rk <= 2),
+           |sc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.dot) AS sd, SUM(l.c2) AS sc2
+           |       FROM enc e JOIN acell a USING (id)
+           |       JOIN probes p ON p.cell = a.cell
+           |       JOIN lut l ON l.query_id = p.query_id AND l.subspace = e.subspace AND l.cell = e.code
+           |       GROUP BY 1, 2),
+           |r AS (SELECT s.query_id, s.cand_id, s.sd / (qn.qnorm * sqrt(s.sc2)) AS adc_cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.sd / (qn.qnorm * sqrt(s.sc2)) DESC, s.cand_id ASC) AS rnk
+           |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id)
+           |SELECT query_id, cand_id, round(adc_cosine, 6) AS adc_cosine, rnk FROM r WHERE rnk <= 3""".stripMargin
+      },
 
       "q62_repetition" ->
         s"""WITH base AS (SELECT doc_id, $toks AS tt FROM documents),

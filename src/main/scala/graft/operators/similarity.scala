@@ -283,4 +283,56 @@ object similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("adc_cosine"), col("rank"))
   }
+
+  /**
+   * IVF + PQ: the production ANN composition — a coarse quantizer routes
+   * each query to its `nProbe` nearest cells (the IVF recall/cost dial) and
+   * candidates are scored by PQ ADC *within those cells only*, never by a
+   * full-dimension dot product and never outside the probed cells.
+   *
+   * `coarse` is an IVF centroid table (cell, cvec); `codebooks` a PQ
+   * codebook (subspace, cell, cvec) — both typically fitted on the same
+   * deterministic sample via `kmeansFit` / `pqFitCodebooks`.
+   *
+   * Scale: candidates are assigned to coarse cells once and carried as
+   * (id, cell, subspace, code) integer rows — the per-vector state is the
+   * cell id plus m codes, nothing else. Probes and the per-query LUT are
+   * broadcast (|q|·nProbe and |q|·m·k rows); the candidate side sees one
+   * broadcast-join chain + a partially-aggregated (query, cand) sum, so
+   * the scan cost is |probed cells|/|cells| of the PQ-only scan.
+   */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                coarse: DataFrame, codebooks: DataFrame,
+                idCol: String, vecCol: String, k: Int, nProbe: Int,
+                m: Int, subDim: Int): DataFrame = {
+    val assigned = assignCells(candidates, coarse, idCol, vecCol)
+      .select(col("id"), col("cell"))
+    val cellCodes = pqEncode(candidates, codebooks, idCol, vecCol, m, subDim)
+      .join(assigned, Seq("id"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+    val cen = coarse.select(col("cell"), toDoubleArray(col("cvec")).as("gcv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
+    val probes = broadcast(q).crossJoin(broadcast(cen))
+      .withColumn("csim", cosineCol(col("qv"), col("gcv")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
+    val lut = broadcast(q).crossJoin(broadcast(cb))
+      .withColumn("sv", slice(col("qv"), col("subspace") * subDim + 1, lit(subDim)))
+      .select(col("query_id"), col("subspace"), col("cell").as("code"),
+        dotCol(col("sv"), col("cv")).as("dot"), dotCol(col("cv"), col("cv")).as("c2"))
+    val qn = q.select(col("query_id"), normCol(col("qv")).as("qnorm"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("cand_id").asc)
+    cellCodes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("id").as("cand_id"))
+      .agg(sum(col("dot")).as("sd"), sum(col("c2")).as("sc2"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("adc_cosine", col("sd") / (col("qnorm") * sqrt(col("sc2"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("adc_cosine"), col("rank"))
+  }
 }

@@ -133,6 +133,50 @@ object stream {
         coalesce(col("canonical"), col("class_iri")).as("obj"),
         lit(1.0).as("score"))
 
+  /** Streaming-dedup input row. */
+  final case class StreamDoc(doc_id: Long, text: String)
+
+  /** StreamDoc + its normalized-content hash (the dedup ledger key). */
+  final case class DedupedDoc(doc_id: Long, text_hash: String, text: String)
+
+  /**
+   * Streaming exact dedup — the first-seen ledger: emits a document only
+   * if no document with the same normalized-content md5 has been emitted
+   * before, across micro-batches. Within a batch the minimum doc_id wins,
+   * so for any arrival order the SET of emitted hashes equals the batch
+   * `dedup.exact` canonical set (the survivor id matches batch whenever
+   * the min-id copy arrives first or in the same batch — cross-batch, a
+   * streaming first-seen ledger is by definition arrival-ordered).
+   *
+   * State discipline: one boolean per DISTINCT content hash — the state IS
+   * the dedup index, so it grows with distinct content, not stream length;
+   * at 10^12-turn scale it lives in the RocksDB state store and is exactly
+   * the structure a batch backfill would build anyway. Keys are md5 hex
+   * (32 B) — content-keyed, partition- and arrival-invariant membership.
+   */
+  def dedupStream(spark: SparkSession, docs: Dataset[StreamDoc]): Dataset[DedupedDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def keep(hash: String, it: Iterator[StreamDoc],
+             state: GroupState[Boolean]): Iterator[DedupedDoc] = {
+      if (state.exists) Iterator.empty
+      else {
+        state.update(true)
+        val first = it.minBy(_.doc_id)
+        Iterator(DedupedDoc(first.doc_id, hash, first.text))
+      }
+    }
+    docs
+      .groupByKey(d => md5hex(graft.functions.text.normalize(d.text)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(keep)
+  }
+
   /** Windowed mention rate: 10-minute tumbling windows per entity with a
     * 30-minute watermark for late data. */
   def mentionRate(mentionsWithTs: DataFrame): DataFrame =

@@ -216,6 +216,29 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopK with all cells probed equals exact brute force on the exact-reconstruction fixture") {
+    val coarse = similarity.fitCentroidsForIvf(
+      similarity.kmeansFit(pqVecs, "vid", "vec", 4, 2))
+    val cb = similarity.pqFitCodebooks(pqVecs, "vid", "vec", 2, 2, 4, 2)
+    val q = pqVecs.filter($"vid" === 1L)
+    val got = similarity.ivfPqTopK(q, pqVecs, coarse, cb, "vid", "vec", 3, 4, 2, 2)
+      .select("cand_id", "adc_cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toList
+    val bf = similarity.bruteForceTopK(q, pqVecs, "vid", "vec", 3)
+      .select("cand_id", "cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toList
+    assert(got.map(_._1) == bf.map(_._1), s"IVF+PQ ranking differs: $got vs $bf")
+    got.zip(bf).foreach { case ((_, a, _), (_, b, _)) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+    // with nProbe=1 only the query's own cell is scanned: results are a
+    // subset of the candidates, never outside the probed cell
+    val narrow = similarity.ivfPqTopK(q, pqVecs, coarse, cb, "vid", "vec", 3, 1, 2, 2)
+      .select("cand_id").as[Long].collect().toSet
+    assert(narrow.subsetOf(pqVecs.as[(Long, Seq[Float])].collect().map(_._1).toSet))
+    assert(narrow.size < 3) // n==k: one vector per cell, so own-cell-only finds < k others
+  }
+
   test("pq chain is partition-invariant") {
     def run(parts: Int) = {
       val v = pqVecs.repartition(parts)

@@ -256,6 +256,42 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(rows.contains(("src:C1", 2L)))
   }
 
+  test("dedupStream: first-seen ledger across micro-batches matches batch canonical set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.stream.StreamDoc
+    val ms = MemoryStream[StreamDoc]
+    val out = graft.streaming.stream.dedupStream(spark, ms.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: an in-batch duplicate pair (2 wins on min id) + a singleton
+    ms.addData(
+      StreamDoc(3L, "The  quick_brown fox"),
+      StreamDoc(2L, "the quick brown fox"),
+      StreamDoc(5L, "something else entirely"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate (suppressed) + a new doc
+    ms.addData(
+      StreamDoc(1L, "the quick brown fox"),
+      StreamDoc(7L, "a genuinely new document"))
+    q.processAllAvailable()
+    val rows = spark.sql("select doc_id from dedup_out").as[Long].collect().toSet
+    q.stop()
+    // first-seen per content: 2 (min id in its arrival batch), 5, 7; the
+    // later-arriving duplicate 1 is suppressed by the ledger
+    assert(rows == Set(2L, 5L, 7L))
+    // the emitted HASH set equals the batch dedup.exact canonical set over
+    // the union of both batches
+    val batchHashes = graft.operators.dedup.exact(
+      Seq((3L, "The  quick_brown fox"), (2L, "the quick brown fox"),
+        (5L, "something else entirely"), (1L, "the quick brown fox"),
+        (7L, "a genuinely new document")).toDF("id", "text"), "id", "text")
+      .filter(org.apache.spark.sql.functions.col("is_canonical") === 1)
+      .select("text_hash").as[String].collect().toSet
+    val streamHashes = spark.sql("select text_hash from dedup_out")
+      .as[String].collect().toSet
+    assert(streamHashes == batchHashes)
+  }
+
   test("Main: staged run resumes from manifests (second run reuses stages)") {
     val work = Files.createTempDirectory("graft-main").toString
     graft.plans.Main.main(Array("fixture:40", "fixture", work))
