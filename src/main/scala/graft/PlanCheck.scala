@@ -167,10 +167,13 @@ object PlanCheck {
     }
 
     // 12. decontaminate: the benchmark shingle-key set is the broadcast
-    // side — the (100 TB) training side must not shuffle before its
-    // per-doc overlap agg
-    check("decontaminate: bench shingle set broadcast",
-      wanted = Seq("BroadcastHashJoin", "HashAggregate")) {
+    // side — the (100 TB) training side must not shuffle into ANY
+    // sort-merge join before its per-doc overlap agg (execute=true so AQE
+    // finalizes: a SortMergeJoin surviving the finalized plan would mean
+    // a train-side shuffle regressed in)
+    check("decontaminate: all joins broadcast, train side never sort-merged",
+      wanted = Seq("BroadcastHashJoin", "HashAggregate"),
+      unwanted = Seq("SortMergeJoin"), execute = true) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       graft.operators.quality.decontaminate(
         docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
@@ -179,21 +182,24 @@ object PlanCheck {
 
     // 13. quotaSample: ranks are computed within (grp, md5-prefix bucket) —
     // the rank window's exchange must key on the bucket too (a plain
-    // per-group window runs each domain on ONE task), and the tiny
-    // offsets/quotas joins stay broadcast
-    check("quotaSample: bucketed rank window + broadcast offsets/quotas",
-      wanted = Seq("_b", "BroadcastHashJoin", "Window")) {
+    // per-group window runs each domain on ONE task). The side tables
+    // carry no forced hint (the many-domains contract), so AQE must pick
+    // the broadcast at THIS size on runtime stats — execute=true
+    check("quotaSample: bucketed rank window + stats-driven broadcast sides",
+      wanted = Seq("_b", "BroadcastHashJoin", "Window"), execute = true) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val quotas = docs.select(col("source").as("grp")).distinct()
         .withColumn("quota", when(length(col("grp")) === 4, 8).otherwise(4))
       graft.operators.quality.quotaSample(docs, "doc_id", "source", quotas)
     }
 
-    // 14. PQ ADC: the per-query LUT join stays broadcast — the candidate
-    // code table (the 10^10-row side at scale) is never the build side of
-    // the lookup
-    check("pqTopK: broadcast LUT join over the code table",
-      wanted = Seq("BroadcastHashJoin")) {
+    // 14. PQ ADC: the candidate code table (the 10^10-row side at scale)
+    // is never the build side of any join — every lookup (LUT, qnorm)
+    // reaches it as a broadcast; a SortMergeJoin anywhere in the finalized
+    // plan means the code table started shuffling for a lookup
+    check("pqTopK: code table joins stay broadcast end to end",
+      wanted = Seq("BroadcastHashJoin"),
+      unwanted = Seq("SortMergeJoin"), execute = true) {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val cb = graft.operators.similarity.pqFitCodebooks(
         e.filter(col("vec_id") < 200), "vec_id", "embedding", 2, 32, 4, 2)

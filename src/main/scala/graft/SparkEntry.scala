@@ -1909,10 +1909,13 @@ object SparkEntry {
            |$pqCoreCtes,
            |sc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.dot) AS sd, SUM(l.c2) AS sc2
            |       FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.cell = e.code
-           |       GROUP BY 1, 2),
-           |r AS (SELECT s.query_id, s.cand_id, s.sd / (qn.qnorm * sqrt(s.sc2)) AS adc_cosine,
-           |  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.sd / (qn.qnorm * sqrt(s.sc2)) DESC, s.cand_id ASC) AS rnk
-           |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id)
+           |       GROUP BY 1, 2 HAVING COUNT(*) = 2),
+           |adc AS (SELECT s.query_id, s.cand_id,
+           |  CASE WHEN qn.qnorm * sqrt(s.sc2) = 0 THEN 0.0
+           |       ELSE s.sd / (qn.qnorm * sqrt(s.sc2)) END AS adc_cosine
+           |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id),
+           |r AS (SELECT query_id, cand_id, adc_cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, cand_id ASC) AS rnk FROM adc)
            |SELECT query_id, cand_id, round(adc_cosine, 6) AS adc_cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
       "q66_ivfpq_ann" -> {
@@ -1937,10 +1940,13 @@ object SparkEntry {
            |       FROM enc e JOIN acell a USING (id)
            |       JOIN probes p ON p.cell = a.cell
            |       JOIN lut l ON l.query_id = p.query_id AND l.subspace = e.subspace AND l.cell = e.code
-           |       GROUP BY 1, 2),
-           |r AS (SELECT s.query_id, s.cand_id, s.sd / (qn.qnorm * sqrt(s.sc2)) AS adc_cosine,
-           |  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.sd / (qn.qnorm * sqrt(s.sc2)) DESC, s.cand_id ASC) AS rnk
-           |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id)
+           |       GROUP BY 1, 2 HAVING COUNT(*) = 2),
+           |adc AS (SELECT s.query_id, s.cand_id,
+           |  CASE WHEN qn.qnorm * sqrt(s.sc2) = 0 THEN 0.0
+           |       ELSE s.sd / (qn.qnorm * sqrt(s.sc2)) END AS adc_cosine
+           |  FROM sc s JOIN qn ON qn.query_id = s.query_id WHERE s.query_id <> s.cand_id),
+           |r AS (SELECT query_id, cand_id, adc_cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, cand_id ASC) AS rnk FROM adc)
            |SELECT query_id, cand_id, round(adc_cosine, 6) AS adc_cosine, rnk FROM r WHERE rnk <= 3""".stripMargin
       },
 

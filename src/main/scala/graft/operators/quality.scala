@@ -88,7 +88,12 @@ object quality {
    * (grp × 256)-row count table. Fully distributed: no driver collect
    * (the `downsampleNegatives` cousin collects its offsets; here groups ×
    * buckets stays a DataFrame so the operator scales with the number of
-   * domains too).
+   * domains too). For the same reason the offsets/quotas joins carry NO
+   * broadcast hint: the ranked side is already hash-partitioned on
+   * (grp, _b) by its window, so Catalyst/AQE broadcasts the side tables
+   * while they are small and falls back to a co-partitioned join when the
+   * domain count outgrows a broadcast — a forced hint would reintroduce
+   * the many-domains driver bottleneck this formulation exists to avoid.
    */
   def quotaSample(docs: DataFrame, idCol: String, groupCol: String,
                   quotas: DataFrame): DataFrame = {
@@ -104,9 +109,9 @@ object quality {
     val wB = Window.partitionBy("grp", "_b").orderBy(col("_h").asc, col("id").asc)
     tagged
       .withColumn("_r", row_number().over(wB))
-      .join(broadcast(offsets), Seq("grp", "_b"))
+      .join(offsets, Seq("grp", "_b"))
       .withColumn("rnk", col("_off") + col("_r"))
-      .join(broadcast(quotas.select(col("grp"), col("quota"))), Seq("grp"))
+      .join(quotas.select(col("grp"), col("quota")), Seq("grp"))
       .filter(col("rnk") <= col("quota"))
       .select(col("id"), col("grp"), col("rnk"))
   }

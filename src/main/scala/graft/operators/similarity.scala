@@ -112,9 +112,13 @@ object similarity {
    * fails fast instead of silently running `iters` full-corpus passes.
    */
   def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int, maxFitRows: Long = 2000000L): DataFrame = {
+                k: Int, iters: Int, maxFitRows: Long = 2000000L,
+                preCountedRows: Option[Long] = None): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
-    val nFit = vectors.count()
+    // callers fitting the SAME input repeatedly (pqFitCodebooks: one fit
+    // per subspace) count once and pass it down instead of paying one
+    // count job per fit
+    val nFit = preCountedRows.getOrElse(vectors.count())
     require(nFit <= maxFitRows,
       s"kmeansFit over $nFit rows > maxFitRows=$maxFitRows: the fit runs " +
         s"$iters full passes over its input — fit on a deterministic sample " +
@@ -173,14 +177,8 @@ object similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val assigned = assignCells(candidates, centroids, idCol, vecCol)
-    val cen = centroids.select(col("cell"), toDoubleArray(col("cvec")).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
-    val probes = broadcast(q).crossJoin(broadcast(cen))
-      .withColumn("csim", cosineCol(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select("query_id", "qv", "cell")
+    val probes = probeCells(q, centroids, nProbe)
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("id"))
@@ -190,9 +188,33 @@ object similarity {
       .select(col("query_id"), col("id").as("cand_id"), col("cosine"), col("rank"))
   }
 
+  /** Each query's `nProbe` nearest centroid cells by cosine (ties on cell
+    * ascending): (query_id, qv, cell). `q` must carry (query_id, qv);
+    * both sides are broadcast (queries are caller-bounded, centroids are a
+    * small dimension). Shared by `ivfTopK` and `ivfPqTopK`. */
+  private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cen = centroids.select(col("cell"), toDoubleArray(col("cvec")).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
+    broadcast(q).crossJoin(broadcast(cen))
+      .withColumn("csim", cosineCol(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "qv", "cell")
+  }
+
   // -------------------------------------------------------------------------
   // Product quantization (PQ) — the memory-compression ANN scale path
   // -------------------------------------------------------------------------
+
+  /** Loud fail-fast when m·subDim exceeds the vector dimension — a
+    * mismatched slice would otherwise zip against nulls and "encode" every
+    * vector to an arbitrary cell. Reads ONE row (dims are uniform by
+    * construction), never a full pass. */
+  private def requireDim(df: DataFrame, vecCol: String, need: Int, who: String): Unit = {
+    val d = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(d.isEmpty || d(0).getInt(0) >= need,
+      s"$who: m*subDim = $need exceeds vector dimension ${d(0).getInt(0)}")
+  }
 
   /**
    * Fit one k-means codebook per subspace: the embedding is cut into `m`
@@ -209,10 +231,14 @@ object similarity {
                      m: Int, subDim: Int, k: Int, iters: Int,
                      maxFitRows: Long = 2000000L): DataFrame = {
     require(m > 0 && subDim > 0, s"need m > 0 and subDim > 0, got m=$m subDim=$subDim")
+    requireDim(vectors, vecCol, m * subDim, "pqFitCodebooks")
+    // one guard count for all m fits — the input is the same every time
+    val nFit = vectors.count()
     (0 until m).map { s =>
       val sub = vectors.select(col(idCol).as("id"),
         slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
-      fitCentroidsForIvf(kmeansFit(sub, "id", "sv", k, iters, maxFitRows))
+      fitCentroidsForIvf(kmeansFit(sub, "id", "sv", k, iters, maxFitRows,
+          preCountedRows = Some(nFit)))
         .select(lit(s).as("subspace"), col("cell"), col("cvec"))
     }.reduce(_ union _)
   }
@@ -231,6 +257,7 @@ object similarity {
    */
   def pqEncode(vectors: DataFrame, codebooks: DataFrame,
                idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    requireDim(vectors, vecCol, m * subDim, "pqEncode")
     val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .withColumn("subspace", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("sv", slice(col("v"), col("subspace") * subDim + 1, lit(subDim)))
@@ -262,26 +289,46 @@ object similarity {
    * determinism in practice but a paranoid caller can fix the fold order
    * by pivoting subspaces to columns.)
    */
-  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
-             idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+  /** Per-query PQ lookup table: (query_id, subspace, code, dot, c2) for
+    * every codebook entry. `q` must carry (query_id, qv). */
+  private def pqLut(q: DataFrame, codebooks: DataFrame, subDim: Int): DataFrame = {
     val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
-    val lut = broadcast(q).crossJoin(broadcast(cb))
+    broadcast(q).crossJoin(broadcast(cb))
       .withColumn("sv", slice(col("qv"), col("subspace") * subDim + 1, lit(subDim)))
-      .select(col("query_id"), col("subspace"), col("cell"),
+      .select(col("query_id"), col("subspace"), col("cell").as("code"),
         dotCol(col("sv"), col("cv")).as("dot"), dotCol(col("cv"), col("cv")).as("c2"))
-    val qn = q.select(col("query_id"), normCol(col("qv")).as("qnorm"))
+  }
+
+  /** Shared ADC tail for `pqTopK`/`ivfPqTopK`: sum the per-subspace LUT
+    * terms per (query, candidate) — keeping only candidates with a full set
+    * of `m` code rows (a partial code table must not score) — then the
+    * guarded cosine (a zero-norm query or an all-zero reconstruction scores
+    * 0.0, never NaN — Spark sorts NaN ABOVE every real value, so an
+    * unguarded 0/0 would put a degenerate candidate at rank 1) and the
+    * deterministic top-k window. `joined` carries (query_id, id, dot, c2)
+    * rows, one per (candidate, subspace). */
+  private def adcTopK(joined: DataFrame, qn: DataFrame, k: Int, m: Int): DataFrame = {
     val wTop = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("cand_id").asc)
-    codes.join(broadcast(lut),
-        codes("subspace") === lut("subspace") && codes("code") === lut("cell"))
-      .groupBy(col("query_id"), codes("id").as("cand_id"))
-      .agg(sum(col("dot")).as("sd"), sum(col("c2")).as("sc2"))
+    val den = col("qnorm") * sqrt(col("sc2"))
+    joined
+      .groupBy(col("query_id"), col("id").as("cand_id"))
+      .agg(sum(col("dot")).as("sd"), sum(col("c2")).as("sc2"), count(lit(1)).as("nsub"))
+      .filter(col("nsub") === m)
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(qn), Seq("query_id"))
-      .withColumn("adc_cosine", col("sd") / (col("qnorm") * sqrt(col("sc2"))))
+      .withColumn("adc_cosine",
+        when(den === 0.0, lit(0.0)).otherwise(col("sd") / den))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("adc_cosine"), col("rank"))
+  }
+
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+    val qn = q.select(col("query_id"), normCol(col("qv")).as("qnorm"))
+    adcTopK(codes.join(broadcast(pqLut(q, codebooks, subDim)), Seq("subspace", "code")),
+      qn, k, m)
   }
 
   /**
@@ -310,29 +357,11 @@ object similarity {
     val cellCodes = pqEncode(candidates, codebooks, idCol, vecCol, m, subDim)
       .join(assigned, Seq("id"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
-    val cen = coarse.select(col("cell"), toDoubleArray(col("cvec")).as("gcv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
-    val probes = broadcast(q).crossJoin(broadcast(cen))
-      .withColumn("csim", cosineCol(col("qv"), col("gcv")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("cell"))
-    val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
-    val lut = broadcast(q).crossJoin(broadcast(cb))
-      .withColumn("sv", slice(col("qv"), col("subspace") * subDim + 1, lit(subDim)))
-      .select(col("query_id"), col("subspace"), col("cell").as("code"),
-        dotCol(col("sv"), col("cv")).as("dot"), dotCol(col("cv"), col("cv")).as("c2"))
+    val probes = probeCells(q, coarse, nProbe).select(col("query_id"), col("cell"))
     val qn = q.select(col("query_id"), normCol(col("qv")).as("qnorm"))
-    val wTop = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("cand_id").asc)
-    cellCodes.join(broadcast(probes), Seq("cell"))
-      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
-      .groupBy(col("query_id"), col("id").as("cand_id"))
-      .agg(sum(col("dot")).as("sd"), sum(col("c2")).as("sc2"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .join(broadcast(qn), Seq("query_id"))
-      .withColumn("adc_cosine", col("sd") / (col("qnorm") * sqrt(col("sc2"))))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("adc_cosine"), col("rank"))
+    adcTopK(
+      cellCodes.join(broadcast(probes), Seq("cell"))
+        .join(broadcast(pqLut(q, codebooks, subDim)), Seq("query_id", "subspace", "code")),
+      qn, k, m)
   }
 }

@@ -157,11 +157,6 @@ object stream {
   def dedupStream(spark: SparkSession, docs: Dataset[StreamDoc]): Dataset[DedupedDoc] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    def md5hex(s: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      d.map("%02x".format(_)).mkString
-    }
     def keep(hash: String, it: Iterator[StreamDoc],
              state: GroupState[Boolean]): Iterator[DedupedDoc] = {
       if (state.exists) Iterator.empty
@@ -171,8 +166,11 @@ object stream {
         Iterator(DedupedDoc(first.doc_id, hash, first.text))
       }
     }
+    // one md5 implementation repo-wide (lineage.fingerprint): the hash
+    // domain must stay byte-identical to dedup.exact's md5(normText)
     docs
-      .groupByKey(d => md5hex(graft.functions.text.normalize(d.text)))
+      .groupByKey(d => graft.plans.lineage.fingerprint(
+        graft.functions.text.normalize(d.text)))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(keep)
   }

@@ -239,6 +239,25 @@ class DedupSimSpec extends SparkSuite {
     assert(narrow.size < 3) // n==k: one vector per cell, so own-cell-only finds < k others
   }
 
+  test("pqTopK guards the zero-norm query: scores 0.0 with id-ascending ranks, never NaN at rank 1") {
+    val cb = similarity.pqFitCodebooks(pqVecs, "vid", "vec", 2, 2, 4, 2)
+    val codes = similarity.pqEncode(pqVecs, cb, "vid", "vec", 2, 2)
+    val zq = Seq((99L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vid", "vec")
+    val got = similarity.pqTopK(zq, codes, cb, "vid", "vec", 3, 2, 2)
+      .select("cand_id", "adc_cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toList
+    assert(got.forall(r => r._2 == 0.0 && !r._2.isNaN), s"unguarded NaN/score: $got")
+    assert(got.map(_._1) == got.map(_._1).sorted) // pure cand-id tie-break
+  }
+
+  test("pqEncode fails fast when m*subDim exceeds the vector dimension") {
+    val cb = similarity.pqFitCodebooks(pqVecs, "vid", "vec", 2, 2, 4, 2)
+    val e = intercept[IllegalArgumentException] {
+      similarity.pqEncode(pqVecs, cb, "vid", "vec", 2, 33)
+    }
+    assert(e.getMessage.contains("exceeds vector dimension"))
+  }
+
   test("pq chain is partition-invariant") {
     def run(parts: Int) = {
       val v = pqVecs.repartition(parts)
