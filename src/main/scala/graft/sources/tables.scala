@@ -37,6 +37,47 @@ object tables {
     df.select(required.map(col): _*)
   }
 
+  /** JSONL transcript ingest — the raw-dump format transcripts actually
+    * arrive in before they become a bucketed table (one JSON object per
+    * line: conv_id, turn_idx, role, text, tool, ts as ISO-8601).
+    *
+    * The schema is ASSERTED, never inferred: schema inference over a
+    * 100 TB dump is a full extra scan with nondeterministic column typing.
+    * Corrupt lines are quarantined, not fatal and not silently dropped —
+    * PERMISSIVE mode routes them to `_corrupt_record`, and this returns
+    * (good rows as the canonical transcript shape, corrupt-line DataFrame
+    * for the caller's quarantine sink). A caller that wants fail-fast
+    * checks `corrupt.isEmpty`. */
+  def readTranscriptsJsonl(spark: SparkSession,
+                           path: String): (DataFrame, DataFrame) = {
+    // text scan + from_json, NOT spark.read.json: (a) the json reader's
+    // corrupt-record column cannot be filtered without materializing the
+    // whole read (Spark's documented PERMISSIVE quirk) — a cache() is not
+    // an option at dump scale; (b) from_json with an explicit schema keeps
+    // the parse inside whole-stage codegen on the text scan, one pass.
+    val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, " +
+      "tool STRING, ts TIMESTAMP"
+    val parsed = spark.read.text(path)
+      .select(col("value"),
+        from_json(col("value"), schema, Map.empty[String, String]).as("j"))
+    // a line is good iff it parsed AND carries the row identity; anything
+    // else (malformed JSON, schema drift) goes to quarantine verbatim
+    val ok = col("j").isNotNull && col("j.conv_id").isNotNull &&
+      col("j.turn_idx").isNotNull && col("j.text").isNotNull
+    val good = parsed.filter(ok).select(
+      col("j.conv_id").as("conv_id"), col("j.turn_idx").as("turn_idx"),
+      col("j.role").as("role"), col("j.text").as("text"),
+      col("j.tool").as("tool"), col("j.ts").as("ts"))
+    val corrupt = parsed.filter(!ok).select(col("value").as("corrupt_line"))
+    (good, corrupt)
+  }
+
+  /** JSONL transcript sink (the roundtrip twin; ISO-8601 timestamps). */
+  def writeTranscriptsJsonl(df: DataFrame, path: String): Unit =
+    df.select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"))
+      .write.mode("overwrite").json(path)
+
   /** Mapping TSV sink — the reference's exact 3-column contract
     * (Entity1\tEntity2\tValue, header, tab separator; onto_map.py:144-146). */
   def writeMappingsTsv(mappings: DataFrame, path: String): Unit =

@@ -256,6 +256,31 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(rows.contains(("src:C1", 2L)))
   }
 
+  test("JSONL transcript ingest: roundtrip + corrupt-line quarantine (asserted schema, one pass)") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val turns = Seq(
+      Turn("c1", 0, "user", "alpha beta", null, new Timestamp(1000L)),
+      Turn("c1", 1, "assistant", "gamma", "search", new Timestamp(2000L)),
+      Turn("c2", 0, "user", "delta", null, new Timestamp(3000L)))
+    graft.sources.tables.writeTranscriptsJsonl(turns.toDF(), s"$dir/clean")
+    val (good0, corrupt0) = graft.sources.tables.readTranscriptsJsonl(spark, s"$dir/clean")
+    assert(corrupt0.count() == 0)
+    val back = good0.as[Turn].collect().sortBy(t => (t.conv_id, t.turn_idx)).toSeq
+    assert(back == turns) // per-turn text equality under stable ordering
+    // a dump with garbage interleaved: malformed JSON + schema drift
+    val mixed = Seq(
+      """{"conv_id":"c9","turn_idx":0,"role":"user","text":"ok","tool":null,"ts":"2026-01-01T00:00:00.000Z"}""",
+      """this is not json at all""",
+      """{"conv_id":"c9","role":"user","text":"missing turn_idx"}""",
+      """{"turn_idx":3,"text":"missing conv_id"}""")
+    Files.write(java.nio.file.Paths.get(s"$dir/raw.jsonl"),
+      mixed.mkString("\n").getBytes("UTF-8"))
+    val (good, corrupt) = graft.sources.tables.readTranscriptsJsonl(spark, s"$dir/raw.jsonl")
+    assert(good.count() == 1 && good.select("conv_id").as[String].head() == "c9")
+    val bad = corrupt.as[String].collect().toSet
+    assert(bad == mixed.drop(1).toSet) // quarantined VERBATIM, none dropped
+  }
+
   test("dedupStream: first-seen ledger across micro-batches matches batch canonical set") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.stream.StreamDoc
