@@ -184,9 +184,12 @@ object PlanCheck {
     // the rank window's exchange must key on the bucket too (a plain
     // per-group window runs each domain on ONE task). The side tables
     // carry no forced hint (the many-domains contract), so AQE must pick
-    // the broadcast at THIS size on runtime stats — execute=true
+    // the broadcast at THIS size on runtime stats — execute=true. The
+    // offsets branch derives from the ranked frame, so the (grp,_b)
+    // exchange must be REUSED (one corpus scan total, not two).
     check("quotaSample: bucketed rank window + stats-driven broadcast sides",
-      wanted = Seq("_b", "BroadcastHashJoin", "Window"), execute = true) {
+      wanted = Seq("_b", "BroadcastHashJoin", "Window", "ReusedExchange"),
+      execute = true) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val quotas = docs.select(col("source").as("grp")).distinct()
         .withColumn("quota", when(length(col("grp")) === 4, 8).otherwise(4))

@@ -101,14 +101,25 @@ object quality {
       .select(col(idCol).as("id"), col(groupCol).as("grp"))
       .withColumn("_h", md5(col("id").cast("string")))
       .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+      // semantic no-op (inner joins drop null keys anyway) but load-bearing
+      // for the plan: the final join infers isnotnull(_b) into the ranked
+      // branch ONLY, which de-canonicalizes the two otherwise-identical
+      // shuffle subtrees and defeats ReuseExchange — stating the predicate
+      // here puts it in BOTH branches, so the corpus is scanned once
+      .filter(col("grp").isNotNull && col("_b").isNotNull)
+    val wB = Window.partitionBy("grp", "_b").orderBy(col("_h").asc, col("id").asc)
+    val ranked = tagged.withColumn("_r", row_number().over(wB))
+    // offsets derive FROM the ranked frame (per-bucket count = max rank),
+    // not from a second `tagged` branch: both join sides then share the
+    // identical scan → exchange(grp,_b) → sort → window subtree, which
+    // Spark's ReuseExchange collapses to ONE corpus scan + ONE shuffle —
+    // the naive two-branch formulation paid a second full corpus pass
     val wOff = Window.partitionBy("grp").orderBy("_b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = tagged.groupBy("grp", "_b").agg(count(lit(1)).as("_n"))
+    val offsets = ranked.groupBy("grp", "_b").agg(max(col("_r")).as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
       .select("grp", "_b", "_off")
-    val wB = Window.partitionBy("grp", "_b").orderBy(col("_h").asc, col("id").asc)
-    tagged
-      .withColumn("_r", row_number().over(wB))
+    ranked
       .join(offsets, Seq("grp", "_b"))
       .withColumn("rnk", col("_off") + col("_r"))
       .join(quotas.select(col("grp"), col("quota")), Seq("grp"))
@@ -131,16 +142,42 @@ object quality {
    * generation, the broadcast semi-ish join and the per-document count
    * are one map-side pass plus one (id)-keyed partial-combined agg.
    * Shingles travel as `dedup.contentKey` (8 bytes), never as strings.
+   *
+   * The broadcast is GUARDED, not assumed (the `maxDictEntities`/
+   * `linker=auto` pattern): one dimension-side count of the distinct
+   * bench keys routes the plan — under `maxBenchShingles` (default 20M ≈
+   * ~1 GB of broadcast hash relation) the bench set broadcasts; over it —
+   * a caller "decontaminating" against a corpus slice rather than an eval
+   * suite — the operator falls back to a width-pinned co-partitioned
+   * shuffled join instead of force-broadcasting past Spark's limits into
+   * a driver OOM. The explicit `repartition(width, shk)` on BOTH sides is
+   * load-bearing in the fallback: AQE sizes the exchange by input bytes,
+   * not by the join fan-out (the 1-task disease, BENCH/BASELINE.md).
    */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
-                    k: Int = 3, minOverlap: Long = 2L): DataFrame = {
+                    k: Int = 3, minOverlap: Long = 2L,
+                    maxBenchShingles: Long = 20000000L,
+                    widthHint: Int = 0): DataFrame = {
     val trainSh = dedup.shingles(train, idCol, textCol, k)
       .select(col("id"), dedup.contentKey(col("shingle")).as("shk"))
     val benchSh = dedup.shingles(bench, idCol, textCol, k)
       .select(dedup.contentKey(col("shingle")).as("shk")).distinct()
-    val overlap = trainSh.join(broadcast(benchSh), Seq("shk"))
-      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    val nBench = benchSh.count()
+    val joined =
+      if (nBench <= maxBenchShingles) trainSh.join(broadcast(benchSh), Seq("shk"))
+      else {
+        System.err.println(s"[graft] decontaminate: $nBench distinct bench " +
+          s"shingle keys exceed maxBenchShingles=$maxBenchShingles — " +
+          "falling back to a width-pinned shuffled join (the bench side " +
+          "does not look like an eval suite; raise maxBenchShingles " +
+          "explicitly if the broadcast is intended)")
+        val w = if (widthHint > 0) widthHint
+          else train.sparkSession.sparkContext.defaultParallelism
+        trainSh.repartition(w, col("shk"))
+          .join(benchSh.repartition(w, col("shk")), Seq("shk"))
+      }
+    val overlap = joined.groupBy("id").agg(count(lit(1)).as("n_overlap"))
     train.select(col(idCol).as("id"))
       .join(overlap, Seq("id"), "left")
       .select(col("id"),

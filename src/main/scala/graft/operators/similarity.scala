@@ -283,11 +283,11 @@ object similarity {
    *
    * Scale: the LUT is |queries|·m·k rows — broadcast; the only exchange
    * over the candidate side carries (id, subspace, code) integer rows, and
-   * the per-(query, cand) sum has map-side partial aggregation. (FP note:
-   * the Σ_s sums are over m doubles; at m = 2 addition is a single
-   * commutative op — bit-exact under any execution order. Larger m keeps
-   * determinism in practice but a paranoid caller can fix the fold order
-   * by pivoting subspaces to columns.)
+   * the per-(query, cand) aggregation has map-side partial combine.
+   * (FP note: the Σ_s sums fold in FIXED subspace order — the terms are
+   * collected per (query, cand), sorted by subspace, and reduced with a
+   * sequential `aggregate` — so the score is bit-exact at any
+   * partitioning for ANY m, not just the commutative-trivial m = 2.)
    */
   /** Per-query PQ lookup table: (query_id, subspace, code, dot, c2) for
     * every codebook entry. `q` must carry (query_id, qv). */
@@ -305,14 +305,23 @@ object similarity {
     * guarded cosine (a zero-norm query or an all-zero reconstruction scores
     * 0.0, never NaN — Spark sorts NaN ABOVE every real value, so an
     * unguarded 0/0 would put a degenerate candidate at rank 1) and the
-    * deterministic top-k window. `joined` carries (query_id, id, dot, c2)
-    * rows, one per (candidate, subspace). */
+    * deterministic top-k window. `joined` carries (query_id, id, subspace,
+    * dot, c2) rows, one per (candidate, subspace); the terms fold in
+    * subspace order (array_sort + sequential aggregate) so the FP sums are
+    * partition-invariant for any m. */
   private def adcTopK(joined: DataFrame, qn: DataFrame, k: Int, m: Int): DataFrame = {
     val wTop = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("cand_id").asc)
     val den = col("qnorm") * sqrt(col("sc2"))
     joined
       .groupBy(col("query_id"), col("id").as("cand_id"))
-      .agg(sum(col("dot")).as("sd"), sum(col("c2")).as("sc2"), count(lit(1)).as("nsub"))
+      .agg(array_sort(collect_list(
+        struct(col("subspace"), col("dot"), col("c2")))).as("terms"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc + t.getField("dot")).as("sd"),
+        aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc + t.getField("c2")).as("sc2"),
+        size(col("terms")).as("nsub"))
       .filter(col("nsub") === m)
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(qn), Seq("query_id"))

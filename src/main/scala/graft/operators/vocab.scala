@@ -192,7 +192,12 @@ object vocab {
    * catalog-sized, so this is the normal case even for a 10^12-turn corpus
    * — it is collected ONCE behind the guard and the merge loop runs
    * driver-local (a 1,000-merge induction is seconds, not 1,000 Spark jobs
-   * + materializations). Larger histograms take the distributed loop: one
+   * + materializations). `maxLocalHistWords` guards DRIVER HEAP, not just
+   * row count: the local trainer holds per-word symbol arrays plus
+   * pair-count and pair→word index maps — roughly 0.5-1 KB of heap per
+   * distinct word — so the 1M default budgets ~1 GB of driver heap; raise
+   * it only on a driver sized for several GB of headroom.
+   * Larger histograms take the distributed loop: one
    * small Spark job per merge over the histogram, corpus-size-independent
    * but driver-latency-bound. BPE merges are sequentially dependent — the
    * loop itself cannot fan out; what scales is keeping it OFF the
@@ -200,7 +205,7 @@ object vocab {
    */
   def learnMerges(spark: SparkSession, hist: DataFrame, nMerges: Int,
                   minCount: Long = 2L,
-                  maxLocalHistWords: Long = 5000000L): DataFrame = {
+                  maxLocalHistWords: Long = 1000000L): DataFrame = {
     import spark.implicits._
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     if (hist.count() <= maxLocalHistWords) {

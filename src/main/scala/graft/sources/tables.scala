@@ -60,10 +60,18 @@ object tables {
     val parsed = spark.read.text(path)
       .select(col("value"),
         from_json(col("value"), schema, Map.empty[String, String]).as("j"))
-    // a line is good iff it parsed AND carries the row identity; anything
-    // else (malformed JSON, schema drift) goes to quarantine verbatim
+    // a line is good iff it parsed AND carries the row identity AND any
+    // ts it carried actually parsed; anything else (malformed JSON,
+    // identity-field drift, a wrong-typed turn_idx or unparseable ts) goes
+    // to quarantine verbatim. The ts clause is load-bearing: Spark's
+    // partial-results parsing (enablePartialResults, default on) nulls
+    // just the bad field and keeps the row — without the raw-key check a
+    // drifted timestamp would land in the "good" output silently nulled.
+    // role/tool need no such check (StringType accepts any JSON scalar
+    // verbatim — they cannot drift to null).
     val ok = col("j").isNotNull && col("j.conv_id").isNotNull &&
-      col("j.turn_idx").isNotNull && col("j.text").isNotNull
+      col("j.turn_idx").isNotNull && col("j.text").isNotNull &&
+      (get_json_object(col("value"), "$.ts").isNull || col("j.ts").isNotNull)
     val good = parsed.filter(ok).select(
       col("j.conv_id").as("conv_id"), col("j.turn_idx").as("turn_idx"),
       col("j.role").as("role"), col("j.text").as("text"),
@@ -157,33 +165,98 @@ object tables {
 
   /** Minimal OWL/RDF-XML catalog scan (reference loads ontologies with
     * owlready2, onto_box.py:47): named classes with their rdfs:labels and
-    * named-parent rdfs:subClassOf edges — exactly the subset the
+    * subClassOf edges to NAMED ancestors — exactly the subset the
     * alignment dataflow consumes (classtexts + hierarchy). Declarative:
     * whole-file text scan → regexp class-block extraction (explode
     * parallelizes across classes, multiple files across files) → column
-    * regexes. Anonymous/restriction axioms are out of scope by design:
-    * the reference's reasoning lives inside owlready2, and the engine
-    * consumes only labels + the named is-a graph.
+    * regexes.
+    *
+    * Anonymous-parent handling (owlready2's `is_a` walk surfaces these,
+    * onto_box.py:154-161; a named-resource-only scan under-generates
+    * sibling hard-negatives and extension hops on real OAEI files):
+    *  - `<rdfs:subClassOf rdf:resource="X"/>` — direct named parent;
+    *  - `<rdfs:subClassOf><owl:Class rdf:about="X"/>…` — nested named
+    *    class refs (incl. intersectionOf operands: C ⊑ A ⊓ B entails
+    *    C ⊑ A and C ⊑ B), skipped when the element carries a unionOf /
+    *    complementOf / Restriction (C ⊑ A ⊔ B entails neither; restriction
+    *    SEMANTICS stay out of scope — no reasoner here by design);
+    *  - `<rdfs:subClassOf rdf:nodeID="b"/>` — blank-node indirection,
+    *    resolved through `<owl:Class rdf:nodeID="b">` definitions to the
+    *    nearest named ancestor(s), chains followed up to 3 hops (the
+    *    blank-node tables are catalog-dimension — tiny joins).
+    * Known limitation (documented, regex-not-XML): a FULL nested
+    * `<owl:Class>…</owl:Class>` element truncates the enclosing block at
+    * the inner close tag, so axioms after an inline intersection wrapper
+    * are not seen; nodeID-routed serializations resolve completely.
     *
     * @return (classes(onto, class_iri, labels: array<string>),
     *          edges(onto, child_iri, parent_iri)) */
   def readOwlCatalog(spark: SparkSession, path: String,
                      onto: String): (DataFrame, DataFrame) = {
     val raw = spark.read.option("wholetext", "true").text(path)
+    // block head must be a real open tag, not a self-closing reference —
+    // `<owl:Class rdf:about="X"/>` inside another block must never seed a
+    // phantom block of its own
+    def blockPat(idAttr: String) =
+      s"(?s)<owl:Class rdf:$idAttr=[\"'][^\"']+[\"'][^>]*(?<!/)>.*?</owl:Class>"
+    val refPat = "<(?:owl:Class|rdf:Description) rdf:about=[\"']([^\"']+)"
+    val namedParentPat = "<rdfs:subClassOf[^>]*rdf:resource=[\"']([^\"']+)[\"']"
+    val nodeParentPat = "<rdfs:subClassOf[^>]*rdf:nodeID=[\"']([^\"']+)[\"']"
+    val unsound = "owl:(Restriction|unionOf|complementOf)"
+
     val blocks = raw.select(explode(regexp_extract_all(col("value"),
-      lit("(?s)<owl:Class rdf:about=[\"'][^\"']+[\"'].*?</owl:Class>"), lit(0))).as("blk"))
+      lit(blockPat("about")), lit(0))).as("blk"))
+    // named refs nested INSIDE subClassOf elements only (equivalentClass /
+    // disjointWith refs elsewhere in the block are not ancestors)
+    val nestedRefs = flatten(transform(
+      filter(regexp_extract_all(col("blk"),
+          lit("(?s)<rdfs:subClassOf\\s*>(.*?)</rdfs:subClassOf>"), lit(1)),
+        b => !b.rlike(unsound)),
+      b => regexp_extract_all(b, lit(refPat), lit(1))))
     val parsed = blocks.select(
       regexp_extract(col("blk"), "<owl:Class rdf:about=[\"']([^\"']+)", 1).as("class_iri"),
       regexp_extract_all(col("blk"),
         lit("<rdfs:label[^>]*>\\s*([^<]*?)\\s*</rdfs:label>"), lit(1)).as("labels"),
-      regexp_extract_all(col("blk"),
-        lit("<rdfs:subClassOf[^>]*rdf:resource=[\"']([^\"']+)[\"']"), lit(1)).as("parents"))
+      array_distinct(concat(
+        regexp_extract_all(col("blk"), lit(namedParentPat), lit(1)),
+        nestedRefs)).as("parents"),
+      regexp_extract_all(col("blk"), lit(nodeParentPat), lit(1)).as("parent_nodes"))
       .filter(col("class_iri") =!= "")
     val classes = parsed
       .filter(size(col("labels")) > 0)
       .select(lit(onto).as("onto"), col("class_iri"), col("labels"))
+
+    // blank-node class definitions: the anonymous ancestors nodeID-routed
+    // serializations put between a child and its named ancestors
+    val blankParsed = raw.select(explode(regexp_extract_all(col("value"),
+        lit(blockPat("nodeID")), lit(0))).as("blk"))
+      .select(
+        regexp_extract(col("blk"), "<owl:Class rdf:nodeID=[\"']([^\"']+)", 1).as("node_id"),
+        when(col("blk").rlike("owl:(unionOf|complementOf)"),
+            array().cast("array<string>"))
+          .otherwise(array_distinct(concat(
+            regexp_extract_all(col("blk"), lit(namedParentPat), lit(1)),
+            regexp_extract_all(col("blk"), lit(refPat), lit(1))))).as("named"),
+        regexp_extract_all(col("blk"), lit(nodeParentPat), lit(1)).as("nodes"))
+      .filter(col("node_id") =!= "")
+    val nodeNamed = blankParsed
+      .select(col("node_id"), explode(col("named")).as("parent_iri"))
+    val nodeNode = blankParsed
+      .select(col("node_id"), explode(col("nodes")).as("next_id"))
+    var frontier = parsed
+      .select(col("class_iri").as("child_iri"), explode(col("parent_nodes")).as("node_id"))
+    var anonEdges = frontier.join(nodeNamed, Seq("node_id"))
+      .select(col("child_iri"), col("parent_iri"))
+    (2 to 3).foreach { _ =>
+      frontier = frontier.join(nodeNode, Seq("node_id"))
+        .select(col("child_iri"), col("next_id").as("node_id"))
+      anonEdges = anonEdges.union(frontier.join(nodeNamed, Seq("node_id"))
+        .select(col("child_iri"), col("parent_iri")))
+    }
+
     val edges = parsed
       .select(col("class_iri").as("child_iri"), explode(col("parents")).as("parent_iri"))
+      .union(anonEdges.distinct())
       .select(lit(onto).as("onto"), col("child_iri"), col("parent_iri"))
     (classes, edges)
   }

@@ -269,4 +269,33 @@ class DedupSimSpec extends SparkSuite {
     }
     assert(run(1) == run(5))
   }
+
+  test("pqTopK at m=4 is BIT-exact across partitionings (fixed subspace fold order)") {
+    // m > 2 is where a partition-order FP sum could diverge: the ADC tail
+    // folds the per-subspace terms via array_sort + sequential aggregate,
+    // so the score must be bit-identical at any partitioning, not just
+    // approximately equal. Irrational-ish magnitudes make an accidental
+    // commutative-exact fixture unlikely.
+    val vecs8 = Seq(
+      (1L, Seq(0.31f, 1.7f, 2.9f, 0.13f, 5.1f, 0.77f, 3.3f, 1.1f)),
+      (2L, Seq(4.7f, 0.23f, 1.9f, 6.1f, 0.37f, 2.2f, 0.91f, 3.7f)),
+      (3L, Seq(2.1f, 3.9f, 0.57f, 1.3f, 4.3f, 0.19f, 2.7f, 0.83f)),
+      (4L, Seq(0.97f, 2.3f, 5.3f, 0.41f, 1.7f, 3.1f, 0.61f, 4.9f)),
+      (5L, Seq(3.3f, 0.71f, 2.1f, 4.7f, 0.29f, 1.9f, 5.7f, 0.53f)),
+      (6L, Seq(1.1f, 4.1f, 0.67f, 2.9f, 3.7f, 0.47f, 1.3f, 2.3f))
+    ).toDF("vid", "vec")
+    def run(parts: Int): List[(Long, Long, Long, Int)] = {
+      val v = vecs8.repartition(parts)
+      val cb = similarity.pqFitCodebooks(v, "vid", "vec", 4, 2, 3, 2)
+      val codes = similarity.pqEncode(v, cb, "vid", "vec", 4, 2)
+      similarity.pqTopK(v.filter($"vid" <= 2L), codes, cb, "vid", "vec", 4, 4, 2)
+        .select("query_id", "cand_id", "adc_cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect()
+        .map(r => (r._1, r._2, java.lang.Double.doubleToRawLongBits(r._3), r._4))
+        .sortBy(t => (t._1, t._4)).toList
+    }
+    val a = run(1)
+    assert(a == run(7) && a == run(3), "ADC scores not bit-exact across partitionings")
+    assert(a.nonEmpty)
+  }
 }

@@ -119,4 +119,25 @@ class QualitySpec extends SparkSuite {
     assert(got(4L) == (3L, 1))
     assert(got.size == 4)       // clean docs are kept in the audit output
   }
+
+  test("decontaminate shuffled fallback (bench set over the broadcast cap) " +
+      "matches the broadcast path") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "beta gamma delta other words"),
+      (3L, "nothing in common at all"),
+      (4L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val broadcastPath = quality.decontaminate(train, bench, "doc_id", "text", 3, 2L)
+      .orderBy("id").collect().toSeq
+    // cap of 1 forces the width-pinned shuffled join; results must be
+    // identical, and the fallback plan must not broadcast the bench set
+    val fallback = quality.decontaminate(train, bench, "doc_id", "text", 3, 2L,
+      maxBenchShingles = 1L, widthHint = 4)
+    assert(fallback.orderBy("id").collect().toSeq == broadcastPath)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("hashpartitioning"),
+      s"fallback join lost its width pin:\n$plan")
+  }
 }

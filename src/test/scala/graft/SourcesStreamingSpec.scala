@@ -83,6 +83,67 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(e == Set(("src", "http://onto.a/HeartDisease", "http://onto.a/Disease")))
   }
 
+  test("OWL catalog scan resolves anonymous parents to named ancestors") {
+    // the shapes real OAEI files carry (owlready2's is_a walks them,
+    // onto_box.py:154-161): a nested named-class parent, a nodeID-routed
+    // blank class with a named parent, a 2-hop blank chain, a restriction
+    // parent (skipped — no reasoner), and a unionOf (skipped — unsound)
+    val owl =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:owl="http://www.w3.org/2002/07/owl#"
+        |  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+        |<owl:Class rdf:about="http://o/Nested">
+        |  <rdfs:label>nested</rdfs:label>
+        |  <rdfs:subClassOf><owl:Class rdf:about="http://o/NamedParent"/></rdfs:subClassOf>
+        |</owl:Class>
+        |<owl:Class rdf:about="http://o/ViaNode">
+        |  <rdfs:label>via node</rdfs:label>
+        |  <rdfs:subClassOf rdf:nodeID="b1"/>
+        |</owl:Class>
+        |<owl:Class rdf:nodeID="b1">
+        |  <rdfs:subClassOf rdf:resource="http://o/NodeParent"/>
+        |  <rdfs:subClassOf rdf:nodeID="b2"/>
+        |</owl:Class>
+        |<owl:Class rdf:nodeID="b2">
+        |  <owl:intersectionOf rdf:parseType="Collection">
+        |    <owl:Class rdf:about="http://o/DeepA"/>
+        |    <owl:Class rdf:about="http://o/DeepB"/>
+        |  </owl:intersectionOf>
+        |</owl:Class>
+        |<owl:Class rdf:about="http://o/Restricted">
+        |  <rdfs:label>restricted</rdfs:label>
+        |  <rdfs:subClassOf rdf:resource="http://o/RealParent"/>
+        |  <rdfs:subClassOf><owl:Restriction>
+        |    <owl:someValuesFrom rdf:resource="http://o/NotAParent"/>
+        |  </owl:Restriction></rdfs:subClassOf>
+        |</owl:Class>
+        |<owl:Class rdf:about="http://o/Unioned">
+        |  <rdfs:label>unioned</rdfs:label>
+        |  <rdfs:subClassOf rdf:nodeID="b3"/>
+        |</owl:Class>
+        |<owl:Class rdf:nodeID="b3">
+        |  <owl:unionOf rdf:parseType="Collection">
+        |    <owl:Class rdf:about="http://o/UnionA"/>
+        |  </owl:unionOf>
+        |</owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("owl-anon").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "cat.owl"), owl)
+    val (_, edges) = tables.readOwlCatalog(spark, dir, "src")
+    val e = edges.as[(String, String, String)].collect()
+      .map(r => (r._2, r._3)).toSet
+    assert(e == Set(
+      ("http://o/Nested", "http://o/NamedParent"),       // nested named class
+      ("http://o/ViaNode", "http://o/NodeParent"),       // nodeID, 1 hop
+      ("http://o/ViaNode", "http://o/DeepA"),            // nodeID chain, 2 hops
+      ("http://o/ViaNode", "http://o/DeepB"),            //   (intersection operands)
+      ("http://o/Restricted", "http://o/RealParent")))   // restriction skipped,
+    // union operands are NOT ancestors; someValuesFrom is NOT an edge
+    assert(!e.exists(_._2 == "http://o/UnionA"))
+    assert(!e.exists(_._2 == "http://o/NotAParent"))
+  }
+
   test("eval CSV roundtrip keeps the threshold-sweep rows") {
     val report = Seq((0.5, 10L, 0.9, 0.8, 0.847), (0.7, 6L, 1.0, 0.6, 0.75))
       .toDF("threshold", "n_mappings", "p", "r", "f1")
@@ -272,7 +333,11 @@ class SourcesStreamingSpec extends SparkSuite {
       """{"conv_id":"c9","turn_idx":0,"role":"user","text":"ok","tool":null,"ts":"2026-01-01T00:00:00.000Z"}""",
       """this is not json at all""",
       """{"conv_id":"c9","role":"user","text":"missing turn_idx"}""",
-      """{"turn_idx":3,"text":"missing conv_id"}""")
+      """{"turn_idx":3,"text":"missing conv_id"}""",
+      // wrong-typed fields: partial-results parsing nulls just the bad
+      // field — these must land in quarantine, not as silently-nulled rows
+      """{"conv_id":"c9","turn_idx":"not-an-int","role":"user","text":"drifted turn_idx"}""",
+      """{"conv_id":"c9","turn_idx":4,"role":"user","text":"drifted ts","ts":"not-a-timestamp"}""")
     Files.write(java.nio.file.Paths.get(s"$dir/raw.jsonl"),
       mixed.mkString("\n").getBytes("UTF-8"))
     val (good, corrupt) = graft.sources.tables.readTranscriptsJsonl(spark, s"$dir/raw.jsonl")
