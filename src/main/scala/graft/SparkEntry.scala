@@ -827,7 +827,51 @@ object SparkEntry {
         wide(s, docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)),
         docs.filter(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", 3, 2L)
-    })
+    }),
+
+    // --- JSONL raw-dump ingest, driver-visible: a FIXED literal dump
+    // (deterministic — no clocks, no randomness) written to /tmp, read
+    // back through the asserted-schema one-pass ingest with corrupt-line
+    // quarantine; the oracle re-parses the SAME file with DuckDB's
+    // read_json and must agree on the good count, the quarantine count
+    // and a content digest of every good field (incl. ts epoch). The six
+    // corrupt shapes cover: malformed JSON, missing identity fields,
+    // wrong-typed turn_idx and an unparseable ts (partial-results drift).
+    "q67_jsonl_ingest" -> ((s, dir) => {
+      val lines = Seq(
+        """{"conv_id":"c1","turn_idx":0,"role":"user","text":"hello graft","tool":null,"ts":"2026-01-02T03:04:05.000Z"}""",
+        """{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"running a table scan","tool":"search","ts":"2026-01-02T03:04:06.000Z"}""",
+        """{"conv_id":"c2","turn_idx":0,"role":"user","text":"group by keys","ts":"2026-01-02T03:05:00.000Z"}""",
+        """{"conv_id":"c2","turn_idx":1,"role":"assistant","text":"window order"}""",
+        """{"conv_id":"c3","turn_idx":0,"role":"tool","text":"join result rows","tool":"sql","ts":"2026-01-02T03:06:07.000Z"}""",
+        """{"conv_id":"c3","turn_idx":1,"role":"user","text":"dedup the corpus","tool":null,"ts":"2026-01-02T03:06:08.000Z"}""",
+        """not json at all {{{""",
+        """{"turn_idx":2,"text":"missing conv id"}""",
+        """{"conv_id":"c9","turn_idx":"NaN","role":"user","text":"bad turn idx"}""",
+        """{"conv_id":"c9","turn_idx":3,"role":"user","text":"bad ts","ts":"not-a-timestamp"}""")
+      val qdir = java.nio.file.Paths.get("/tmp/graft-q67")
+      java.nio.file.Files.createDirectories(qdir)
+      java.nio.file.Files.write(qdir.resolve("raw.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val (good, corrupt) =
+        graft.sources.tables.readTranscriptsJsonl(s, "/tmp/graft-q67/raw.jsonl")
+      val rowKey = concat_ws("\u0001", col("conv_id"),
+        col("turn_idx").cast("string"), col("role"), col("text"), col("tool"),
+        unix_timestamp(col("ts")).cast("string"))
+      val h = pmod(conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long"),
+        lit(2147483648L))
+      good.agg(count(lit(1)).as("n_good"), sum(h).as("good_digest"))
+        .crossJoin(corrupt.agg(count(lit(1)).as("n_corrupt")))
+        .select(col("n_good"), col("n_corrupt"), col("good_digest"))
+    }),
+
+    // --- batch twin of the streaming first-seen dedup ledger: survivor
+    // per normalized-content hash = min (arrival, id), arrival being a
+    // seeded LCG over doc_id so the ledger order differs from the id
+    // order (q19's min-id rule) and the two operators stay distinguishable
+    "q68_dedup_ledger" -> ((s, dir) =>
+      dedup.firstSeenLedger(t(s, dir, "documents"), "doc_id", "text",
+        lcg(col("doc_id"))))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1991,7 +2035,51 @@ object SparkEntry {
            |SELECT d.doc_id AS id, COALESCE(o.n_overlap, 0) AS n_overlap,
            |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) >= 2 THEN 1 ELSE 0 END AS INT) AS contaminated
            |FROM documents d LEFT JOIN ov o ON o.id = d.doc_id
-           |WHERE d.doc_id % 20 <> 0""".stripMargin
+           |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+      // q67: DuckDB independently re-parses the SAME /tmp dump the query
+      // wrote (Verify runs the Spark side first), replicating the
+      // quarantine predicate over RAW lines with json functions — NOT
+      // read_json(ignore_errors), which nulls failing fields instead of
+      // dropping lines (verified empirically). Raw lines come from a
+      // quote-less tab-delimited read_csv (JSONL never carries tabs);
+      // json_extract_string returns SQL NULL for both a missing key and a
+      // JSON null, exactly like Spark's get_json_object, so the ts-drift
+      // clause (ts key present but unparseable => corrupt) twins 1:1.
+      "q67_jsonl_ingest" ->
+        """WITH raw AS (
+          |  SELECT l FROM read_csv('/tmp/graft-q67/raw.jsonl',
+          |    delim=E'\t', quote='', escape='', header=false, columns={'l':'VARCHAR'})),
+          |parsed AS (
+          |  SELECT
+          |    CASE WHEN json_valid(l) THEN json_extract_string(l, '$.conv_id') END AS conv_id,
+          |    TRY_CAST(CASE WHEN json_valid(l) THEN json_extract_string(l, '$.turn_idx') END AS INTEGER) AS turn_idx,
+          |    CASE WHEN json_valid(l) THEN json_extract_string(l, '$.role') END AS role,
+          |    CASE WHEN json_valid(l) THEN json_extract_string(l, '$.text') END AS text,
+          |    CASE WHEN json_valid(l) THEN json_extract_string(l, '$.tool') END AS tool,
+          |    CASE WHEN json_valid(l) THEN json_extract_string(l, '$.ts') END AS ts_raw
+          |  FROM raw),
+          |good AS (
+          |  SELECT conv_id, turn_idx, role, text, tool, TRY_CAST(ts_raw AS TIMESTAMP) AS ts
+          |  FROM parsed
+          |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND text IS NOT NULL
+          |    AND (ts_raw IS NULL OR TRY_CAST(ts_raw AS TIMESTAMP) IS NOT NULL))
+          |SELECT (SELECT count(*) FROM good) AS n_good,
+          |       (SELECT count(*) FROM raw) - (SELECT count(*) FROM good) AS n_corrupt,
+          |       (SELECT CAST(sum(('0x' || substring(md5(concat_ws(chr(1), conv_id,
+          |          CAST(turn_idx AS VARCHAR), role, text, tool,
+          |          CAST(epoch(ts) AS VARCHAR))), 1, 15))::BIGINT % 2147483648) AS BIGINT)
+          |        FROM good) AS good_digest""".stripMargin,
+
+      "q68_dedup_ledger" ->
+        s"""SELECT text_hash, doc_id AS first_id, arrival FROM (
+           |  SELECT doc_id,
+           |    md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\\s+', ' ', 'g'))) AS text_hash,
+           |    ${lcgSql("doc_id")} AS arrival,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\\s+', ' ', 'g')))
+           |      ORDER BY ${lcgSql("doc_id")} ASC, doc_id ASC) AS rk
+           |  FROM documents) WHERE rk = 1""".stripMargin
     )
   }
 }

@@ -33,6 +33,26 @@ object dedup {
       .withColumn("is_canonical", (col("id") === min(col("id")).over(w)).cast("int"))
   }
 
+  /** Batch twin of the streaming first-seen dedup ledger
+    * (stream.dedupStream): one survivor per normalized-content hash — the
+    * copy with the smallest (arrival, id) — i.e. exactly what the
+    * streaming ledger emits when rows arrive in `arrival` order (in-batch
+    * ties break on min id, the same rule as the stream's per-batch minBy).
+    * The emitted HASH set equals `exact`'s canonical set for ANY arrival
+    * order; only the surviving id depends on arrival. Backfill contract:
+    * seeding the streaming job's RocksDB ledger state from a historical
+    * corpus is this operator. One hash-keyed window — no pairs, no loop;
+    * the shuffle carries (id, arrival, 32-byte hash) rows only. */
+  def firstSeenLedger(docs: DataFrame, idCol: String, textCol: String,
+                      arrivalCol: Column): DataFrame = {
+    val w = Window.partitionBy("text_hash").orderBy(col("_arr").asc, col("id").asc)
+    docs.select(col(idCol).as("id"), arrivalCol.as("_arr"),
+        md5(normText(col(textCol))).as("text_hash"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("text_hash"), col("id").as("first_id"), col("_arr").as("arrival"))
+  }
+
   /** Word k-shingles of a document as one row per distinct shingle. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = text.wordTokensCol(col(textCol))

@@ -20,6 +20,28 @@ class DedupSimSpec extends SparkSuite {
     assert(rows(3L) == (1L, 1) && rows(4L) == (1L, 1))
   }
 
+  test("firstSeenLedger: batch twin of the streaming ledger") {
+    import org.apache.spark.sql.functions._
+    // arrival REVERSES id order: the (1, 2) duplicate pair must now keep
+    // id 2 (first arrival), while the emitted hash set stays exactly
+    // exact()'s canonical set — the streaming-ledger contract
+    val ledger = dedup.firstSeenLedger(docs, "id", "text", -col("id"))
+      .as[(String, Long, Long)].collect()
+    val canonicalHashes = dedup.exact(docs, "id", "text")
+      .filter(col("is_canonical") === 1)
+      .select("text_hash").as[String].collect().toSet
+    assert(ledger.map(_._1).toSet == canonicalHashes)
+    val byHash = ledger.map(r => r._1 -> r._2).toMap
+    val dupHash = dedup.exact(docs, "id", "text")
+      .filter(col("group_size") === 2)
+      .select("text_hash").as[String].head()
+    assert(byHash(dupHash) == 2L) // first-arrived copy, not min id
+    // with arrival = id the ledger survivor IS exact's min-id canonical
+    val sameOrder = dedup.firstSeenLedger(docs, "id", "text", col("id"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(sameOrder(dupHash) == 1L)
+  }
+
   test("shingles: sliding word k-grams, distinct") {
     val s = dedup.shingles(Seq((1L, "a b c b c")).toDF("id", "text"), "id", "text", 2)
       .select("shingle").as[String].collect().toSet
