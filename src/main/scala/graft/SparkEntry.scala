@@ -2068,7 +2068,7 @@ object SparkEntry {
           |       (SELECT count(*) FROM raw) - (SELECT count(*) FROM good) AS n_corrupt,
           |       (SELECT CAST(sum(('0x' || substring(md5(concat_ws(chr(1), conv_id,
           |          CAST(turn_idx AS VARCHAR), role, text, tool,
-          |          CAST(epoch(ts) AS VARCHAR))), 1, 15))::BIGINT % 2147483648) AS BIGINT)
+          |          CAST(CAST(epoch(ts) AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT % 2147483648) AS BIGINT)
           |        FROM good) AS good_digest""".stripMargin,
 
       "q68_dedup_ledger" ->
