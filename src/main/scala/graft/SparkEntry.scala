@@ -871,7 +871,30 @@ object SparkEntry {
     // order (q19's min-id rule) and the two operators stay distinguishable
     "q68_dedup_ledger" -> ((s, dir) =>
       dedup.firstSeenLedger(t(s, dir, "documents"), "doc_id", "text",
-        lcg(col("doc_id"))))
+        lcg(col("doc_id")))),
+
+    // --- random-hyperplane embedding LSH near-dup pairs: md5-derived ±1
+    // projections in 10^6 fixed point → banded bit signatures → bucket
+    // self-join → exact-cosine verify. The no-blocking-key embedding-dedup
+    // scale path (q27 needs a caller-supplied block) ------------------------
+    "q69_embed_lsh" -> ((s, dir) =>
+      dedup.embeddingLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 16, bands = 4, threshold = 0.3)
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    // --- gap-based sessionization over the events table: session_ord via
+    // lag + running sum in ONE keyed window (prefix-compatible specs — a
+    // single sort); per-session aggregates carry integer cents so no float
+    // sum crosses the engine boundary ---------------------------------------
+    "q70_sessionize_gap" -> ((s, dir) => {
+      val sess = graft.streaming.stream.sessionizeGap(
+        t(s, dir, "events"), "user_id", "ts", "event_id", 600.0)
+      sess.groupBy(col("user_id"), col("session_ord"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -2079,7 +2102,53 @@ object SparkEntry {
            |    ROW_NUMBER() OVER (
            |      PARTITION BY md5(trim(regexp_replace(lower(replace(text, '_', ' ')), '\\s+', ' ', 'g')))
            |      ORDER BY ${lcgSql("doc_id")} ASC, doc_id ASC) AS rk
-           |  FROM documents) WHERE rk = 1""".stripMargin
+           |  FROM documents) WHERE rk = 1""".stripMargin,
+
+      // q69: the identical ±1 hyperplane matrix reconstructed from the
+      // same md5("hp:<plane>:<dim>") strings; projections in 10^6 fixed
+      // point (BIGINT sums — sign bit engine-invariant); band sig =
+      // sum(bit * 2^(p mod r)); exact cosine re-verified on the candidates
+      "q69_embed_lsh" ->
+        """WITH v AS (SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xf
+          |  FROM embeddings),
+          |w AS (SELECT p.p, d.d,
+          |    CASE WHEN ('0x' || substring(md5('hp:' || p.p || ':' || (d.d - 1)), 1, 15))::BIGINT % 2 = 0
+          |      THEN 1 ELSE -1 END AS w
+          |  FROM (SELECT unnest(generate_series(0, 15)) AS p) p,
+          |       (SELECT unnest(generate_series(1, 64)) AS d) d),
+          |bits AS (SELECT v.id, w.p,
+          |    CASE WHEN sum(v.xf[w.d] * w.w) >= 0 THEN 1 ELSE 0 END AS bit
+          |  FROM v, w GROUP BY v.id, w.p),
+          |bsig AS (SELECT id, p // 4 AS band,
+          |    CAST(sum(bit * CAST(power(2, p % 4) AS BIGINT)) AS BIGINT) AS sig
+          |  FROM bits GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+          |  FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)
+          |SELECT c.id1, c.id2,
+          |  round(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+          |    (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+          |     sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 6) AS cosine
+          |FROM cand c
+          |JOIN embeddings e1 ON e1.vec_id = c.id1
+          |JOIN embeddings e2 ON e2.vec_id = c.id2
+          |WHERE list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+          |  (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+          |   sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))) >= 0.3""".stripMargin,
+
+      "q70_sessionize_gap" ->
+        """WITH lagd AS (SELECT user_id, event_id, value, epoch(ts) AS tse,
+          |    lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts) ASC, event_id ASC) AS prev
+          |  FROM events),
+          |sess AS (SELECT user_id, event_id, value,
+          |    CAST(sum(CASE WHEN prev IS NULL OR tse - prev > 600 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC
+          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ord
+          |  FROM lagd)
+          |SELECT user_id, session_ord, count(*) AS n_events,
+          |  min(event_id) AS first_event, max(event_id) AS last_event,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM sess GROUP BY 1, 2""".stripMargin
     )
   }
 }

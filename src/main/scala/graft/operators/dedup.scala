@@ -259,4 +259,83 @@ object dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
   }
+
+  /**
+   * Random-hyperplane LSH near-dup pairs over an embedding column — the
+   * embedding analogue of MinHash/LSH for text: `planes` signed
+   * projections give a bit signature whose per-bit collision probability
+   * is 1 − θ/π (θ = angle between vectors); the bits are banded and
+   * candidates are generated ONLY within (band, band-signature) buckets,
+   * then verified by exact cosine ≥ `threshold`. This is the scale path
+   * `embeddingNearDups` lacks when no natural blocking key exists: no
+   * caller-supplied blocks, no all-pairs cross — candidate volume is set
+   * by the banding dial exactly like the text LSH.
+   *
+   * Determinism / oracle-portability: the ±1 hyperplane matrix derives
+   * from md5("hp:<plane>:<dim>") (the DuckDB twin reconstructs the
+   * identical matrix from the same strings), and the projections run in
+   * 10^6 fixed-point (BIGINT sums — associative, so the sign bit is
+   * partition- and engine-invariant even at the boundary).
+   *
+   * Scale: signatures are one codegen pass over the vector table (the
+   * weight matrix is a literal — no join, no shuffle); the bucket
+   * self-join carries (id, band, sig) integer rows and gets the explicit
+   * `repartition(width, band, sig)` pin (AQE sizes the exchange by input
+   * bytes, not the quadratic per-bucket explosion — the 1-task disease);
+   * the exact-cosine verify joins the distinct candidate PAIRS back to
+   * the vector table by id instead of dragging vectors through the
+   * bucket shuffle.
+   */
+  def embeddingLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.8,
+                        widthHint: Int = -1): DataFrame = {
+    require(planes > 0 && bands > 0 && planes % bands == 0,
+      s"planes must be a positive multiple of bands, got planes=$planes bands=$bands")
+    require(planes / bands <= 62, "band signature must fit a BIGINT")
+    val r = planes / bands
+    val width = if (widthHint == -1)
+      vecs.sparkSession.sparkContext.defaultParallelism else widthHint
+    // one cheap dimension peek (the requireDim pattern): the weight matrix
+    // is a literal sized to the data's dimensionality
+    val dimRow = vecs.select(size(col(vecCol)).as("d")).limit(1).collect()
+    val dim = if (dimRow.isEmpty) 0 else dimRow(0).getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def wSign(p: Int, d: Int): Long = {
+      val hex = md.digest(s"hp:$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (BigInt(hex.take(15), 16) % 2 == 0) 1L else -1L
+    }
+    val wLit = typedLit((0 until planes).map(p =>
+      (0 until dim).map(d => wSign(p, d))))
+    val pow2 = typedLit((0 until r).map(i => 1L << i))
+    val sig0 = vecs.select(col(idCol).as("id"),
+        similarity.toFixedPoint(col(vecCol)).as("xf"))
+      .withColumn("bits", transform(sequence(lit(0), lit(planes - 1)), p =>
+        when(aggregate(
+            zip_with(col("xf"), element_at(wLit, (p + 1).cast("int")),
+              (x, w) => x * w),
+            lit(0L), (acc, x) => acc + x) >= 0L, lit(1L)).otherwise(lit(0L))))
+      .select(col("id"), explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          aggregate(sequence(lit(0), lit(r - 1)), lit(0L), (acc, i) =>
+            acc + element_at(col("bits"), (b * r + i + 1).cast("int")) *
+              element_at(pow2, (i + 1).cast("int"))).as("sig")))).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.sig").as("sig"))
+    val sig = if (width > 0) sig0.repartition(width, col("band"), col("sig"))
+      else sig0
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val vtab = vecs.select(col(idCol).as("id"),
+      similarity.toDoubleArray(col(vecCol)).as("v"))
+    pairs
+      .join(vtab.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(vtab.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .withColumn("cosine", similarity.cosineCol(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
 }

@@ -292,6 +292,26 @@ class DedupSimSpec extends SparkSuite {
     assert(run(1) == run(5))
   }
 
+  test("embeddingLshPairs: identical vectors always collide; every pair clears the exact threshold") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),   // identical to 1: shares every bit
+      (3L, Seq(-4.0f, 3.0f, -2.0f, 1.0f)), // far from everything
+      (4L, Seq(0.9f, 2.1f, 2.9f, 4.2f))    // near 1/2
+    ).toDF("vid", "vec")
+    val got = dedup.embeddingLshPairs(vs, "vid", "vec",
+        planes = 8, bands = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && math.abs(p._3 - 1.0) < 1e-12),
+      s"identical pair (1,2) missing from $got")
+    assert(got.forall(_._3 >= 0.9)) // exact-cosine verify holds
+    val a = dedup.embeddingLshPairs(vs.repartition(5), "vid", "vec", 8, 4, 0.9)
+      .orderBy("id1", "id2").collect().toSeq
+    val b = dedup.embeddingLshPairs(vs.coalesce(1), "vid", "vec", 8, 4, 0.9)
+      .orderBy("id1", "id2").collect().toSeq
+    assert(a == b) // fixed-point projections: partition-invariant signatures
+  }
+
   test("pqTopK at m=4 is BIT-exact across partitionings (fixed subspace fold order)") {
     // m > 2 is where a partition-order FP sum could diverge: the ADC tail
     // folds the per-subspace terms via array_sort + sequential aggregate,

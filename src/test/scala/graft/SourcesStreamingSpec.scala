@@ -346,6 +346,27 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(bad == mixed.drop(1).toSet) // quarantined VERBATIM, none dropped
   }
 
+  test("sessionizeGap: new session opens after the idle gap, ordinals per key") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (10L, 1L, ts(0)),    // u1 s1
+      (11L, 1L, ts(100)),  // u1 s1 (gap 100 <= 600)
+      (12L, 1L, ts(800)),  // u1 s2 (gap 700 > 600)
+      (13L, 1L, ts(900)),  // u1 s2
+      (20L, 2L, ts(50))    // u2 s1
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.streaming.stream
+      .sessionizeGap(ev, "user_id", "ts", "event_id", 600.0)
+      .select("event_id", "session_ord").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 2L, 20L -> 1L))
+    // a gap of exactly the threshold does NOT open a session (strict >)
+    val edge = Seq((1L, 1L, ts(0)), (2L, 1L, ts(600))).toDF("event_id", "user_id", "ts")
+    val e = graft.streaming.stream
+      .sessionizeGap(edge, "user_id", "ts", "event_id", 600.0)
+      .select("event_id", "session_ord").as[(Long, Long)].collect().toMap
+    assert(e == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("dedupStream: first-seen ledger across micro-batches matches batch canonical set") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.stream.StreamDoc
