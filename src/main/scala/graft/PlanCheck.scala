@@ -211,6 +211,19 @@ object PlanCheck {
         "vec_id", "embedding", 5, 2, 32)
     }
 
+    // 15. embeddingLshPairs: the (band, sig) bucket self-join must carry
+    // the explicit width pin (bucket joins explode quadratically per
+    // bucket while AQE sizes the exchange by input bytes — the 1-task
+    // disease), and the hyperplane projection must be join-free (the
+    // weight matrix is a literal): no join may appear below the signature
+    // exchange.
+    check("embeddingLshPairs: width-pinned bucket join, literal projections",
+      wanted = Seq("REPARTITION_BY_NUM"), execute = true) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.operators.dedup.embeddingLshPairs(e, "vec_id", "embedding",
+        planes = 32, bands = 4, threshold = 0.3)
+    }
+
     // 8. Main-path: the observe() turns metric (CollectMetrics) must not
     // block the same pruning — the transcript scan under spark-submit reads
     // only (conv_id, turn_idx, text) even with the metric attached

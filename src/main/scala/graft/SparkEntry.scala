@@ -878,8 +878,8 @@ object SparkEntry {
     // self-join → exact-cosine verify. The no-blocking-key embedding-dedup
     // scale path (q27 needs a caller-supplied block) ------------------------
     "q69_embed_lsh" -> ((s, dir) =>
-      dedup.embeddingLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          planes = 16, bands = 4, threshold = 0.3)
+      dedup.embeddingLshPairs(wide(s, t(s, dir, "embeddings")), "vec_id", "embedding",
+          planes = 32, bands = 4, threshold = 0.3)
         .withColumn("cosine", round(col("cosine"), 6))),
 
     // --- gap-based sessionization over the events table: session_ord via
@@ -2115,13 +2115,13 @@ object SparkEntry {
           |w AS (SELECT p.p, d.d,
           |    CASE WHEN ('0x' || substring(md5('hp:' || p.p || ':' || (d.d - 1)), 1, 15))::BIGINT % 2 = 0
           |      THEN 1 ELSE -1 END AS w
-          |  FROM (SELECT unnest(generate_series(0, 15)) AS p) p,
+          |  FROM (SELECT unnest(generate_series(0, 31)) AS p) p,
           |       (SELECT unnest(generate_series(1, 64)) AS d) d),
           |bits AS (SELECT v.id, w.p,
           |    CASE WHEN sum(v.xf[w.d] * w.w) >= 0 THEN 1 ELSE 0 END AS bit
           |  FROM v, w GROUP BY v.id, w.p),
-          |bsig AS (SELECT id, p // 4 AS band,
-          |    CAST(sum(bit * CAST(power(2, p % 4) AS BIGINT)) AS BIGINT) AS sig
+          |bsig AS (SELECT id, p // 8 AS band,
+          |    CAST(sum(bit * CAST(power(2, p % 8) AS BIGINT)) AS BIGINT) AS sig
           |  FROM bits GROUP BY 1, 2),
           |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
           |  FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)

@@ -285,11 +285,23 @@ object dedup {
    * the exact-cosine verify joins the distinct candidate PAIRS back to
    * the vector table by id instead of dragging vectors through the
    * bucket shuffle.
+   *
+   * Sizing the dial: a band signature has `planes/bands` bits, so the
+   * keyspace per band is 2^(planes/bands) — with clustered embeddings a
+   * too-coarse signature (e.g. 4 bits = 16 buckets) collapses whole
+   * clusters into one bucket whose pair explosion lands on ONE task (the
+   * repartition pin spreads BUCKETS, it cannot split one hot bucket;
+   * measured: 7 CPU-s single-task at 5k vectors/4-bit bands vs
+   * milliseconds at 8-bit). Use ≥8-bit bands, and `maxBucket` (> 0) as
+   * the hot-bucket guard — the LSH analogue of the shingle df-cap: a
+   * bucket larger than the cap is dropped from candidate generation,
+   * bounding per-task work; its genuinely-similar members still surface
+   * through their other bands.
    */
   def embeddingLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                        planes: Int = 16, bands: Int = 4,
+                        planes: Int = 32, bands: Int = 4,
                         threshold: Double = 0.8,
-                        widthHint: Int = -1): DataFrame = {
+                        widthHint: Int = -1, maxBucket: Long = 0L): DataFrame = {
     require(planes > 0 && bands > 0 && planes % bands == 0,
       s"planes must be a positive multiple of bands, got planes=$planes bands=$bands")
     require(planes / bands <= 62, "band signature must fit a BIGINT")
@@ -322,8 +334,14 @@ object dedup {
             acc + element_at(col("bits"), (b * r + i + 1).cast("int")) *
               element_at(pow2, (i + 1).cast("int"))).as("sig")))).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.sig").as("sig"))
-    val sig = if (width > 0) sig0.repartition(width, col("band"), col("sig"))
+    val sig1 = if (width > 0) sig0.repartition(width, col("band"), col("sig"))
       else sig0
+    val sig = if (maxBucket > 0) {
+      // bucket-size window runs on the pinned exchange (same keys)
+      val wB = Window.partitionBy(col("band"), col("sig"))
+      sig1.withColumn("_n", count(lit(1)).over(wB))
+        .filter(col("_n") <= maxBucket).drop("_n")
+    } else sig1
     val pairs = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.id") < col("b.id"))
