@@ -894,8 +894,38 @@ object SparkEntry {
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
-    })
+    }),
+
+    // --- PII redaction scrub: emails → <EMAIL>, dotted quads → <IP>,
+    // phone-shaped digit groups → <PHONE>, applied sequentially, with
+    // per-doc counts + a digest of the redacted text. The fixture corpus
+    // carries no PII, so the query injects a deterministic doc_id-derived
+    // suffix (one email, one IP, one phone per doc); the oracle injects
+    // the identical string and runs the identical RE2-safe patterns ---------
+    "q71_redact_pii" -> ((s, dir) => {
+      val injected = wide(s, t(s, dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1 tel 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-0199")).as("text"))
+      quality.redactPii(injected, "doc_id", "text")
+        .select(col("id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          md5(col("redacted")).as("red_md5"))
+    }),
+
+    // --- exact-substring dedup (Lee et al. 2022) as duplicated k-gram
+    // span merge: corpus-wide k-gram occurrence counts over 8-byte
+    // contentKeys → duplicate positions → per-doc gaps-and-islands merge
+    // into maximal (span_start, span_end) token spans -----------------------
+    "q72_dup_spans" -> ((s, dir) =>
+      dedup.duplicateSpans(wide(s, t(s, dir, "documents")), "doc_id", "text",
+        k = dupSpanK))
   )
+
+  /** k-gram length for q72 — shared by the query and its oracle twin. */
+  private val dupSpanK = 8
 
   def oracleSql: Map[String, String] = {
     // shared SQL fragments
@@ -2148,7 +2178,48 @@ object SparkEntry {
           |SELECT user_id, session_ord, count(*) AS n_events,
           |  min(event_id) AS first_event, max(event_id) AS last_event,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-          |FROM sess GROUP BY 1, 2""".stripMargin
+          |FROM sess GROUP BY 1, 2""".stripMargin,
+
+      // the same RE2-safe patterns verbatim, the same sequential
+      // composition (emails → IPs → phones), counts taken on the exact
+      // intermediate the next replace consumes
+      "q71_redact_pii" ->
+        s"""WITH inj AS (SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR)
+           |      || '.0.1 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           |      || '-0199' AS t0
+           |  FROM documents),
+           |r1 AS (SELECT doc_id, t0,
+           |    regexp_replace(t0, '${quality.emailPat}', '<EMAIL>', 'g') AS t1 FROM inj),
+           |r2 AS (SELECT doc_id, t0, t1,
+           |    regexp_replace(t1, '${quality.ipv4Pat}', '<IP>', 'g') AS t2 FROM r1)
+           |SELECT doc_id AS id,
+           |  CAST(len(regexp_extract_all(t0, '${quality.emailPat}')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t1, '${quality.ipv4Pat}')) AS BIGINT) AS n_ipv4,
+           |  CAST(len(regexp_extract_all(t2, '${quality.phonePat}')) AS BIGINT) AS n_phone,
+           |  md5(regexp_replace(t2, '${quality.phonePat}', '<PHONE>', 'g')) AS red_md5
+           |FROM r2""".stripMargin,
+
+      // duplicated k-gram positions → gaps-and-islands span merge; pos is
+      // 0-based on both sides (generate_series is 1-based, hence g - 1)
+      "q72_dup_spans" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS tt FROM documents),
+           |kg AS (SELECT doc_id, g - 1 AS pos,
+           |    ('0x' || substring(md5(array_to_string(tt[g:g+${dupSpanK - 1}], ' ')), 1, 15))::BIGINT AS kgk
+           |  FROM base, unnest(generate_series(1, len(tt) - ${dupSpanK - 1})) AS u(g)),
+           |dupk AS (SELECT kgk FROM kg GROUP BY 1 HAVING count(*) >= 2),
+           |dup AS (SELECT doc_id, pos, pos + $dupSpanK AS e FROM kg JOIN dupk USING (kgk)),
+           |m AS (SELECT doc_id, pos, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM dup),
+           |isl AS (SELECT doc_id, pos, e,
+           |    sum(CASE WHEN runmax IS NULL OR pos > runmax THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spn FROM m)
+           |SELECT doc_id AS id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(e) AS BIGINT) AS span_end
+           |FROM isl GROUP BY doc_id, spn""".stripMargin
     )
   }
 }

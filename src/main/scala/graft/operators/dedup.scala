@@ -356,4 +356,64 @@ object dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /**
+   * Duplicated-substring span detection — the corpus-level EXACT-SUBSTRING
+   * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+   * Models Better"), re-expressed for Spark: instead of a monolithic
+   * suffix array (their single-node ExactSubstr tool), mark every token
+   * position covered by a word k-gram that occurs at least `minDf` times
+   * in the whole corpus (within OR across documents — total occurrences,
+   * the suffix-array semantics), then merge overlapping [pos, pos+k)
+   * windows into maximal spans per document. A span of length L ≥ k
+   * duplicated verbatim elsewhere is exactly a run of L−k+1 duplicated
+   * k-grams, so the merged spans coincide with the suffix-array answer
+   * for duplicates ≥ k tokens; shorter repeats are below the k threshold
+   * by construction (same knob as their minimum match length).
+   *
+   * Returns one row per maximal span: (id, span_start, span_end) —
+   * token indices, end exclusive.
+   *
+   * Scale (the reason this beats porting the suffix array): three
+   * shuffle-light passes, nothing quadratic and nothing driver-side —
+   *   1. k-gram occurrence counts: one corpus scan, keys reduced to
+   *      8-byte `contentKey`s, hash-agg with map-side combine;
+   *   2. the duplicate-key join back: the surviving key set is usually
+   *      eval-suite-small → stats/AQE broadcast; when it is not, the join
+   *      is 1-to-few on a hashed 8-byte key (output ≤ input positions —
+   *      no bucket explosion, so AQE byte-sizing is sound and no explicit
+   *      width pin is needed, unlike the bucket self-joins above);
+   *   3. span merge: a doc-keyed gaps-and-islands window — per-task work
+   *      is O(duplicate positions of that doc), bounded by document
+   *      length, with no corpus-wide sort.
+   */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minDf: Long = 2L): DataFrame = {
+    require(k >= 2, s"k-gram length must be >= 2, got $k")
+    val kg = docs
+      .select(col(idCol).as("id"), text.wordTokensCol(col(textCol)).as("toks"))
+      // trailing positions > size-k yield null and are filtered BEFORE
+      // posexplode, so pos keeps the original 0-based token index
+      .select(col("id"), posexplode(filter(
+        transform(col("toks"), (_, i) =>
+          when(i <= size(col("toks")) - k,
+            array_join(slice(col("toks"), i + 1, lit(k)), " "))),
+        s => s.isNotNull)))
+      .select(col("id"), col("pos"), contentKey(col("col")).as("kgk"))
+    val dupKeys = kg.groupBy("kgk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("kgk")
+    val dupPos = kg.join(dupKeys, Seq("kgk"))
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val runMax = max(col("end")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos.withColumn("end", col("pos") + k)
+      .withColumn("new_span",
+        when(runMax.isNull || col("pos") > runMax, 1).otherwise(0))
+      .withColumn("span",
+        sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("span"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
 }

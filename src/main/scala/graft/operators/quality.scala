@@ -184,4 +184,49 @@ object quality {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
   }
+
+  /** Email pattern shared by the operator and its DuckDB oracle —
+    * RE2-compatible (no lookarounds/backreferences), so the exact same
+    * string runs under Java regex (Spark codegen) and RE2 (DuckDB). */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** IPv4-shaped dotted quad (syntactic: no 0-255 range check — a scrub
+    * pass over-redacts rather than leaks). */
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** North-American-shaped phone number: 3-3-4 digit groups with -, . or
+    * space separators. */
+  val phonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /**
+   * PII redaction — the scrub pass a training-data pipeline runs before
+   * tokenization (emails, IPv4 addresses, phone-shaped digit groups →
+   * typed placeholder tokens), plus per-document counts of each redaction
+   * so a downstream filter can threshold on PII density.
+   *
+   * Applied SEQUENTIALLY (emails, then IPs on the email-redacted text,
+   * then phones) so the three counts partition the redacted spans: a
+   * dotted quad inside an already-redacted email is not double-counted,
+   * and the composition order is part of the contract (mirrored verbatim
+   * in the q71 oracle).
+   *
+   * Scale: a pure `Column` regexp chain — whole-stage codegen, zero
+   * shuffle, embarrassingly scan-parallel; the 100 TB cost is one pass
+   * over the text bytes. Patterns are RE2-compatible so the DuckDB twin
+   * runs the identical strings; both engines replace non-overlapping
+   * leftmost matches, and the patterns are mutually non-ambiguous at
+   * their boundaries (\\b + fixed group shapes), so the engines agree
+   * byte-for-byte. Counting uses `regexp_count` (codegen) on the same
+   * intermediate the next replace consumes.
+   */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailPat, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Pat, "<IP>")
+    val t3 = regexp_replace(t2, phonePat, "<PHONE>")
+    docs.select(
+      col(idCol).as("id"),
+      regexp_count(t0, lit(emailPat)).cast("long").as("n_email"),
+      regexp_count(t1, lit(ipv4Pat)).cast("long").as("n_ipv4"),
+      regexp_count(t2, lit(phonePat)).cast("long").as("n_phone"),
+      t3.as("redacted"))
+  }
 }

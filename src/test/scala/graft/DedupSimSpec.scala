@@ -340,4 +340,50 @@ class DedupSimSpec extends SparkSuite {
     assert(a == run(7) && a == run(3), "ADC scores not bit-exact across partitionings")
     assert(a.nonEmpty)
   }
+
+  // ---------------------------------------------------------------------
+  // duplicateSpans (exact-substring dedup as duplicated k-gram span merge)
+  // ---------------------------------------------------------------------
+
+  private lazy val spanDocs = Seq(
+    // docs 1 and 2 share the 5-token run "one two three four five";
+    // doc 2 appends a second shared run "six seven eight" with doc 3
+    (1L, "one two three four five alpha beta gamma"),
+    (2L, "zz one two three four five yy six seven eight"),
+    (3L, "head six seven eight tail words pad pad"),
+    // doc 4 repeats a 3-gram WITHIN itself (suffix-array semantics: total
+    // occurrences count, not distinct docs)
+    (4L, "rep rep rep rep rep solo"),
+    (5L, "entirely unique content nothing shared here at all")
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpans marks shared k-gram runs merged to maximal spans") {
+    val got = dedup.duplicateSpans(spanDocs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: "one two three four five" = tokens [0,5); doc 2: same at [1,6)
+    // plus "six seven eight" at [7,10); doc 3: [1,4); doc 4: "rep rep rep"
+    // occurs at pos 0,1,2 -> merged [0,5); doc 5: nothing
+    assert(got == Set((1L, 0L, 5L), (2L, 1L, 6L), (2L, 7L, 10L),
+      (3L, 1L, 4L), (4L, 0L, 5L)))
+  }
+
+  test("duplicateSpans: a span below k or below minDf never surfaces") {
+    // shared bigram only (below k=3); and with minDf=3 the cross-doc pair
+    // (df=2) disappears while doc 4's within-doc triple (df=3) survives
+    val none = dedup.duplicateSpans(
+      Seq((1L, "pair shared plus noise"), (2L, "other pair shared words"))
+        .toDF("doc_id", "text"), "doc_id", "text", k = 3)
+    assert(none.count() == 0L)
+    val strict = dedup.duplicateSpans(spanDocs, "doc_id", "text", k = 3,
+      minDf = 3L).as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((4L, 0L, 5L)))
+  }
+
+  test("duplicateSpans is partition-invariant") {
+    val base = dedup.duplicateSpans(spanDocs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val reparted = dedup.duplicateSpans(spanDocs.repartition(7), "doc_id",
+      "text", k = 3).as[(Long, Long, Long)].collect().toSet
+    assert(base == reparted)
+  }
 }

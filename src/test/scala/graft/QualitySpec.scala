@@ -140,4 +140,39 @@ class QualitySpec extends SparkSuite {
     assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("hashpartitioning"),
       s"fallback join lost its width pin:\n$plan")
   }
+
+  // ---------------------------------------------------------------------
+  // redactPii
+  // ---------------------------------------------------------------------
+
+  test("redactPii replaces emails, IPv4s and phones with typed tokens " +
+      "and counts each") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@sub.example.org or alice@ex.co today"),
+      (2L, "server at 10.0.0.1 and 192.168.255.3 up"),
+      (3L, "call 555-010-1234 or 555.010.9999 or 555 010 0000"),
+      (4L, "mixed a@b.io via 8.8.8.8 tel 123-456-7890"),
+      (5L, "clean text with no pii at all"),
+      (6L, "version 1.2.3 is not an ip and 12-34 not a phone")
+    ).toDF("doc_id", "text")
+    val got = quality.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == (2L, 0L, 0L, "mail <EMAIL> or <EMAIL> today"))
+    assert(got(2L) == (0L, 2L, 0L, "server at <IP> and <IP> up"))
+    assert(got(3L) == (0L, 0L, 3L, "call <PHONE> or <PHONE> or <PHONE>"))
+    assert(got(4L) == (1L, 1L, 1L, "mixed <EMAIL> via <IP> tel <PHONE>"))
+    assert(got(5L) == (0L, 0L, 0L, "clean text with no pii at all"))
+    // 1.2.3 has only three dotted groups; 12-34 has the wrong group shape
+    assert(got(6L) == (0L, 0L, 0L,
+      "version 1.2.3 is not an ip and 12-34 not a phone"))
+  }
+
+  test("redactPii is sequential: a dotted quad inside an email is redacted " +
+      "as part of the email, not double-counted") {
+    val docs = Seq((1L, "ping admin@10.0.0.1.example.com now")).toDF("doc_id", "text")
+    val r = quality.redactPii(docs, "doc_id", "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (1L, 0L, 0L))
+    assert(r.getString(4) == "ping <EMAIL> now")
+  }
 }
