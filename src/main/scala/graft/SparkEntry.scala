@@ -921,7 +921,15 @@ object SparkEntry {
     // into maximal (span_start, span_end) token spans -----------------------
     "q72_dup_spans" -> ((s, dir) =>
       dedup.duplicateSpans(wide(s, t(s, dir, "documents")), "doc_id", "text",
-        k = dupSpanK))
+        k = dupSpanK)),
+
+    // --- GPT-style concat-and-chunk sequence packing: deterministic
+    // (md5(id), id) concat order, 64-token chunks; global token offset =
+    // exclusive prefix sum via 256 md5-prefix range buckets + a
+    // dimension-sized bucket-base table (no single-task global window) ------
+    "q73_pack_sequences" -> ((s, dir) =>
+      quality.packSequences(wide(s, t(s, dir, "documents")), "doc_id",
+        "text", 64L))
   )
 
   /** k-gram length for q72 — shared by the query and its oracle twin. */
@@ -2219,7 +2227,24 @@ object SparkEntry {
            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spn FROM m)
            |SELECT doc_id AS id, CAST(min(pos) AS BIGINT) AS span_start,
            |  CAST(max(e) AS BIGINT) AS span_end
-           |FROM isl GROUP BY doc_id, spn""".stripMargin
+           |FROM isl GROUP BY doc_id, spn""".stripMargin,
+
+      // the Spark side's bucketed prefix sum ≡ a plain global prefix sum
+      // ordered by (md5(id), id): the bucket is the first two md5 hex
+      // digits, so (bucket, md5, id) ordering IS (md5, id) ordering —
+      // the same argument as the q63 rank oracle
+      "q73_pack_sequences" ->
+        s"""WITH tg AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+           |o AS (SELECT id, n_tokens,
+           |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h ASC, id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_offset
+           |  FROM tg)
+           |SELECT id, n_tokens, global_offset,
+           |  global_offset // 64 AS bin_start,
+           |  CASE WHEN n_tokens > 0 THEN (global_offset + n_tokens - 1) // 64
+           |       ELSE global_offset // 64 END AS bin_end
+           |FROM o""".stripMargin
     )
   }
 }

@@ -229,4 +229,57 @@ object quality {
       regexp_count(t2, lit(phonePat)).cast("long").as("n_phone"),
       t3.as("redacted"))
   }
+
+  /**
+   * GPT-style concat-and-chunk sequence packing — the batching layout a
+   * pretraining pipeline computes before writing training shards:
+   * documents are concatenated in a DETERMINISTIC content-keyed order
+   * (md5(id), id — the same partition-invariant shuffle the repo's
+   * seeded draws use) into one global token stream, which is then cut
+   * into fixed-`seqLen` chunks; a document whose tokens straddle a chunk
+   * boundary is split at materialization time. Emits the assignment one
+   * row per document: its token count, its exclusive global token
+   * offset, and the first/last chunk it lands in
+   * (`bin_start`/`bin_end` = offset DIV seqLen, both inclusive; a
+   * zero-token document reports `bin_start = bin_end = offset DIV
+   * seqLen`).
+   *
+   * Scale: the global offset is an exclusive prefix sum over a total
+   * order — naively ONE window task for the whole corpus. Same cure as
+   * `quotaSample`: the md5 keyspace is range-bucketed on the first two
+   * hex digits (256 buckets; bucket order ≡ hash order, so per-bucket
+   * prefix sums + the 256-row bucket-base running sum compose to the
+   * exact global prefix sum), the per-bucket windows are 256× narrower,
+   * the base table is dimension-sized, and its join back broadcasts.
+   * One corpus scan (the offsets derive from the tagged frame itself),
+   * no driver collect.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val tagged = docs
+      .select(col(idCol).as("id"),
+        size(text.wordTokensCol(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_h", md5(col("id").cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+      .filter(col("_b").isNotNull)
+    val wIn = Window.partitionBy("_b").orderBy(col("_h").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = tagged.withColumn("_pre",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // 256-row bucket totals; the running sum over bucket index is the
+    // bucket base offset (tiny unpartitioned window — dimension-sized)
+    val wBase = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = tagged.groupBy("_b").agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_base", coalesce(sum(col("_tot")).over(wBase), lit(0L)))
+      .select("_b", "_base")
+    inBucket.join(broadcast(base), Seq("_b"))
+      .withColumn("global_offset", col("_pre") + col("_base"))
+      .select(col("id"), col("n_tokens"), col("global_offset"),
+        expr(s"global_offset DIV ${seqLen}L").as("bin_start"),
+        when(col("n_tokens") > 0,
+          expr(s"(global_offset + n_tokens - 1) DIV ${seqLen}L"))
+          .otherwise(expr(s"global_offset DIV ${seqLen}L")).as("bin_end"))
+  }
 }

@@ -175,4 +175,44 @@ class QualitySpec extends SparkSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (1L, 0L, 0L))
     assert(r.getString(4) == "ping <EMAIL> now")
   }
+
+  // ---------------------------------------------------------------------
+  // packSequences — checked against a plain-Scala prefix-sum twin
+  // ---------------------------------------------------------------------
+
+  test("packSequences: bucketed offsets equal the global (md5, id) " +
+      "prefix sum and chunk bounds are exact") {
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "))) :+ (99L, "")
+    val df = docs.toDF("doc_id", "text")
+    val seqLen = 10L
+    // plain-Scala twin: sort by (md5(id), id), exclusive prefix sum
+    val expected = docs
+      .map { case (i, t) => (i, text.wordTokens(t).size.toLong) }
+      .sortBy { case (i, _) => (md5Hex(i.toString), i) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (i, n)) => (i, n, acc + n) }
+      .drop(1)
+      .map { case (i, n, cum) =>
+        val off = cum - n
+        (i, n, off, off / seqLen,
+          if (n > 0) (off + n - 1) / seqLen else off / seqLen)
+      }.toSet
+    val got = quality.packSequences(df, "doc_id", "text", seqLen)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // chunk bounds: every token index is covered exactly once overall
+    val total = docs.map(d => text.wordTokens(d._2).size.toLong).sum
+    assert(got.toSeq.map(_._2).sum == total)
+    assert(got.exists(r => r._5 > r._4), "fixture should span a boundary")
+  }
+
+  test("packSequences is partition-invariant") {
+    val df = (1L to 30L).map(i => (i, s"tok a b c d" * (i % 5).toInt))
+      .toDF("doc_id", "text")
+    val a = quality.packSequences(df, "doc_id", "text", 16L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val b = quality.packSequences(df.repartition(7), "doc_id", "text", 16L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }
