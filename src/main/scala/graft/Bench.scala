@@ -363,8 +363,16 @@ object Bench {
         "graft.BenchOne", c.toString, dir, warmDir, reps.toString, mode)
       val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
       val proc = pb.start()
-      val outOpt = scala.io.Source.fromInputStream(proc.getInputStream)
-        .getLines().find(_.startsWith("BENCHONE"))
+      // drain the merged stream to EOF, not just to the BENCHONE line: a
+      // child whose shutdown path logs more than the OS pipe buffer after
+      // the line would otherwise block on write while the parent blocks in
+      // waitFor() — a deadlock no budget check can see
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      var outOpt: Option[String] = None
+      while (lines.hasNext) {
+        val l = lines.next()
+        if (outOpt.isEmpty && l.startsWith("BENCHONE")) outOpt = Some(l)
+      }
       proc.waitFor()
       outOpt match {
         case Some(out) =>
@@ -429,6 +437,15 @@ object Bench {
         failed, q23s))
       emit("battery")
     }
+
+    // Before any forked measurement: shed the battery's state from the
+    // parent JVM. The parent session must stay alive (fixture writes +
+    // the in-process salt probes need it), but its battery-heated cache
+    // and garbage would otherwise sit next to every forked child's 24g
+    // heap for the rest of the run — the parent should idle SMALL while
+    // children are being measured.
+    sHigh.catalog.clearCache()
+    System.gc()
 
     // === SECTION 2: headline throughput at full width ====================
     var fixturePrepped = false
@@ -515,8 +532,7 @@ object Bench {
       var go = true
       while (go && attempts < maxJl) {
         val settled = jlBlocksV.exists(b => b.eff >= 0.8 && b.eff <= 1.15)
-        if (settled || (jlBlocksV.nonEmpty && !canAfford(jlEst))) go = false
-        else if (jlBlocksV.isEmpty && !canAfford(jlEst)) go = false
+        if (settled || !canAfford(jlEst)) go = false
         else {
           attempts += 1
           val t0 = elapsedSec

@@ -214,10 +214,12 @@ object PlanCheck {
     // 15. embeddingLshPairs: the (band, sig) bucket self-join must carry
     // the explicit width pin (bucket joins explode quadratically per
     // bucket while AQE sizes the exchange by input bytes — the 1-task
-    // disease), and the hyperplane projection must be join-free (the
-    // weight matrix is a literal): no join may appear below the signature
-    // exchange.
-    check("embeddingLshPairs: width-pinned bucket join, literal projections",
+    // disease). The hyperplane projection being join-free (weight matrix
+    // as a literal) is a code-level property the operator enforces by
+    // construction (typedLit) and is NOT asserted here — the plan's
+    // legitimate joins (bucket self-join, exact-cosine verify) make a
+    // substring-level "no join below the exchange" assertion impossible.
+    check("embeddingLshPairs: width-pinned bucket join",
       wanted = Seq("REPARTITION_BY_NUM"), execute = true) {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       graft.operators.dedup.embeddingLshPairs(e, "vec_id", "embedding",

@@ -309,9 +309,17 @@ object dedup {
     val width = if (widthHint == -1)
       vecs.sparkSession.sparkContext.defaultParallelism else widthHint
     // one cheap dimension peek (the requireDim pattern): the weight matrix
-    // is a literal sized to the data's dimensionality
-    val dimRow = vecs.select(size(col(vecCol)).as("d")).limit(1).collect()
+    // is a literal sized to the data's dimensionality. Peek past null
+    // vectors (size(null) is null → getInt would NPE) and fail loudly on
+    // a degenerate dimension: dim = 0 would collapse EVERY signature into
+    // the (band, 0) bucket — the quadratic one-task explosion the width
+    // pin cannot split. Dimension consistency across rows stays the
+    // caller's contract (same one-row peek as similarity.requireDim).
+    val dimRow = vecs.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
     val dim = if (dimRow.isEmpty) 0 else dimRow(0).getInt(0)
+    require(dim > 0 || dimRow.isEmpty,
+      s"embeddingLshPairs: vector column '$vecCol' has dimension $dim")
     val md = java.security.MessageDigest.getInstance("MD5")
     def wSign(p: Int, d: Int): Long = {
       val hex = md.digest(s"hp:$p:$d".getBytes("UTF-8"))

@@ -161,12 +161,24 @@ object quality {
                     widthHint: Int = 0): DataFrame = {
     val trainSh = dedup.shingles(train, idCol, textCol, k)
       .select(col("id"), dedup.contentKey(col("shingle")).as("shk"))
+    // persisted across the routing count and the join it routes: without
+    // it the tokenize+shingle+distinct pipeline over the bench side runs
+    // twice — once for the count, once inside the join — which doubles
+    // the expensive side exactly in the over-cap FALLBACK regime the
+    // guard exists for. On the under-cap broadcast path the cache is
+    // dropped again before building the result: an InMemoryRelation in
+    // the lineage blocks AQE's runtime broadcast conversion of the final
+    // id-keyed left join (PlanCheck #12 catches the SortMergeJoin), and
+    // re-deriving an eval-suite-small side is cheap by contract.
     val benchSh = dedup.shingles(bench, idCol, textCol, k)
       .select(dedup.contentKey(col("shingle")).as("shk")).distinct()
+      .persist()
     val nBench = benchSh.count()
     val joined =
-      if (nBench <= maxBenchShingles) trainSh.join(broadcast(benchSh), Seq("shk"))
-      else {
+      if (nBench <= maxBenchShingles) {
+        benchSh.unpersist(blocking = false)
+        trainSh.join(broadcast(benchSh), Seq("shk"))
+      } else {
         System.err.println(s"[graft] decontaminate: $nBench distinct bench " +
           s"shingle keys exceed maxBenchShingles=$maxBenchShingles — " +
           "falling back to a width-pinned shuffled join (the bench side " +

@@ -232,7 +232,11 @@ object tables {
         lit(blockPat("nodeID")), lit(0))).as("blk"))
       .select(
         regexp_extract(col("blk"), "<owl:Class rdf:nodeID=[\"']([^\"']+)", 1).as("node_id"),
-        when(col("blk").rlike("owl:(unionOf|complementOf)"),
+        // same unsound-construct filter as the direct nested path: a
+        // blank node carrying a Restriction would otherwise surface the
+        // restriction FILLER class (refPat matches any rdf:about in the
+        // block) as a phantom named ancestor
+        when(col("blk").rlike(unsound),
             array().cast("array<string>"))
           .otherwise(array_distinct(concat(
             regexp_extract_all(col("blk"), lit(namedParentPat), lit(1)),
@@ -254,9 +258,15 @@ object tables {
         .select(col("child_iri"), col("parent_iri")))
     }
 
+    // distinct across BOTH branches: a class asserting a named parent
+    // directly AND reaching the same parent through a blank-node chain
+    // must yield the edge once (the pre-round-6 reader was per-class
+    // unique via array_distinct; multiplicity-sensitive consumers like
+    // corpus.violationsOf rely on no-duplicate edges)
     val edges = parsed
       .select(col("class_iri").as("child_iri"), explode(col("parents")).as("parent_iri"))
-      .union(anonEdges.distinct())
+      .union(anonEdges)
+      .distinct()
       .select(lit(onto).as("onto"), col("child_iri"), col("parent_iri"))
     (classes, edges)
   }

@@ -144,6 +144,47 @@ class SourcesStreamingSpec extends SparkSuite {
     assert(!e.exists(_._2 == "http://o/NotAParent"))
   }
 
+  test("OWL blank-node restriction fillers are not ancestors, and a " +
+      "direct + via-node duplicate parent yields ONE edge") {
+    val owl =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:owl="http://www.w3.org/2002/07/owl#"
+        |  xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+        |<owl:Class rdf:about="http://o/C">
+        |  <rdfs:label>c</rdfs:label>
+        |  <rdfs:subClassOf rdf:resource="http://o/P"/>
+        |  <rdfs:subClassOf rdf:nodeID="br"/>
+        |  <rdfs:subClassOf rdf:nodeID="bd"/>
+        |</owl:Class>
+        |<owl:Class rdf:nodeID="br">
+        |  <owl:intersectionOf rdf:parseType="Collection">
+        |    <owl:Class rdf:about="http://o/A"/>
+        |    <owl:Restriction>
+        |      <owl:someValuesFrom rdf:resource="http://o/Filler"/>
+        |      <owl:onClass><owl:Class rdf:about="http://o/Filler2"/></owl:onClass>
+        |    </owl:Restriction>
+        |  </owl:intersectionOf>
+        |</owl:Class>
+        |<owl:Class rdf:nodeID="bd">
+        |  <rdfs:subClassOf rdf:resource="http://o/P"/>
+        |</owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("owl-restr").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "cat.owl"), owl)
+    val (_, edges) = tables.readOwlCatalog(spark, dir, "src")
+    val all = edges.as[(String, String, String)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    // a restriction-carrying blank node is skipped WHOLE (conservative,
+    // same contract as the direct nested path): neither the filler nor
+    // the sibling intersection operand surfaces as a phantom ancestor
+    assert(!all.exists(_._2 == "http://o/Filler"))
+    assert(!all.exists(_._2 == "http://o/Filler2"))
+    assert(!all.exists(_._2 == "http://o/A"))
+    // P is asserted directly AND via the bd blank node: exactly one edge
+    assert(all.count(_ == ("http://o/C", "http://o/P")) == 1)
+  }
+
   test("eval CSV roundtrip keeps the threshold-sweep rows") {
     val report = Seq((0.5, 10L, 0.9, 0.8, 0.847), (0.7, 6L, 1.0, 0.6, 0.75))
       .toDF("threshold", "n_mappings", "p", "r", "f1")
