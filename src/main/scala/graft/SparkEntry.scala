@@ -929,7 +929,34 @@ object SparkEntry {
     // dimension-sized bucket-base table (no single-task global window) ------
     "q73_pack_sequences" -> ((s, dir) =>
       quality.packSequences(wide(s, t(s, dir, "documents")), "doc_id",
-        "text", 64L))
+        "text", 64L)),
+
+    // --- CCNet-style bigram-LM perplexity scoring: add-one-smoothed
+    // bigram model fit on the corpus, every document scored by exact
+    // fixed-point NLL (Σ floor(−10⁶·ln p) as BIGINT — associative, so
+    // partition- and engine-invariant) ---------------------------------------
+    "q74_lm_perplexity" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      quality.lmPerplexity(docs, docs, "doc_id", "text")
+    }),
+
+    // --- SemDeDup semantic dedup: fitted k-means clusters block the
+    // pairwise cosine; within a cluster every vector with a smaller-id
+    // neighbor at cosine ≥ τ is dropped (greedy rule, id total order) --------
+    "q75_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      similarity.semanticDedup(e, e.filter(col("vec_id") < 200),
+        "vec_id", "embedding", 4, 2, 0.4)
+    }),
+
+    // --- DSIR importance weighting: target LM (source = src0) vs
+    // background LM (whole corpus), log w = NLL_bg − NLL_target in the
+    // exact fixed-point domain; one scoring pass over the corpus ------------
+    "q76_dsir_weights" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      quality.dsirWeights(docs.filter(col("source") === "src0"), docs, docs,
+        "doc_id", "text")
+    })
   )
 
   /** k-gram length for q72 — shared by the query and its oracle twin. */
@@ -2244,7 +2271,103 @@ object SparkEntry {
            |  global_offset // 64 AS bin_start,
            |  CASE WHEN n_tokens > 0 THEN (global_offset + n_tokens - 1) // 64
            |       ELSE global_offset // 64 END AS bin_end
-           |FROM o""".stripMargin
+           |FROM o""".stripMargin,
+
+      // bigram-LM NLL: the exact fixed-point contract — per-occurrence
+      // floor(−10⁶·ln p) as BIGINT, context counts derived from the
+      // distinct-bigram table (min(w1k), mirroring the operator)
+      "q74_lm_perplexity" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS tt FROM documents),
+           |bg AS (SELECT doc_id,
+           |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
+           |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
+           |  FROM base, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+           |vsz AS (SELECT count(DISTINCT tok) AS v FROM
+           |  (SELECT unnest(tt) AS tok FROM base)),
+           |model AS (SELECT bgk, count(*) AS c, min(w1k) AS w1k FROM bg GROUP BY 1),
+           |ctx AS (SELECT w1k, CAST(sum(c) AS BIGINT) AS cc FROM model GROUP BY 1),
+           |terms AS (SELECT g.doc_id,
+           |    CAST(floor(-1000000.0 * ln((m.c + 1.0) / (x.cc + v.v))) AS BIGINT) AS t
+           |  FROM bg g JOIN model m USING (bgk) JOIN ctx x ON x.w1k = g.w1k
+           |  CROSS JOIN vsz v),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(t) AS BIGINT) AS nll_fp FROM terms GROUP BY 1)
+           |SELECT d.doc_id AS id,
+           |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
+           |  COALESCE(per.nll_fp, 0) AS nll_fp,
+           |  CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0.0
+           |       ELSE round(per.nll_fp / (per.n_bigrams * 1000000.0), 6)
+           |  END AS avg_nll
+           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
+
+      // DSIR: two bigram LMs (target = source 'src0', background = all),
+      // log importance weight = exact fixed-point NLL difference. The
+      // target-model joins are LEFT (unseen bigrams/contexts hit the
+      // smoothed floor); the background model covers every scored bigram
+      // by construction but keeps the same COALESCE shape as the operator
+      "q76_dsir_weights" -> {
+        def lmCtes(pfx: String, baseName: String) =
+          s"""${pfx}bg AS (SELECT
+             |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
+             |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
+             |  FROM $baseName, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+             |${pfx}vsz AS (SELECT count(DISTINCT tok) AS v FROM
+             |  (SELECT unnest(tt) AS tok FROM $baseName)),
+             |${pfx}model AS (SELECT bgk, count(*) AS c, min(w1k) AS w1k FROM ${pfx}bg GROUP BY 1),
+             |${pfx}ctx AS (SELECT w1k, CAST(sum(c) AS BIGINT) AS cc FROM ${pfx}model GROUP BY 1)""".stripMargin
+        s"""WITH base AS (SELECT doc_id, $toks AS tt FROM documents),
+           |tbase AS (SELECT doc_id, tt FROM base
+           |  JOIN (SELECT doc_id FROM documents WHERE source = 'src0') USING (doc_id)),
+           |${lmCtes("t", "tbase")},
+           |${lmCtes("k", "base")},
+           |bg AS (SELECT doc_id,
+           |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
+           |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
+           |  FROM base, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+           |terms AS (SELECT g.doc_id,
+           |    CAST(floor(-1000000.0 * ln((COALESCE(tm.c, 0) + 1.0) / (COALESCE(tx.cc, 0) + tv.v))) AS BIGINT) AS t_t,
+           |    CAST(floor(-1000000.0 * ln((COALESCE(km.c, 0) + 1.0) / (COALESCE(kx.cc, 0) + kv.v))) AS BIGINT) AS t_b
+           |  FROM bg g
+           |  LEFT JOIN tmodel tm ON tm.bgk = g.bgk
+           |  LEFT JOIN tctx tx ON tx.w1k = g.w1k
+           |  LEFT JOIN kmodel km ON km.bgk = g.bgk
+           |  LEFT JOIN kctx kx ON kx.w1k = g.w1k
+           |  CROSS JOIN tvsz tv CROSS JOIN kvsz kv),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(t_t) AS BIGINT) AS nll_target_fp,
+           |    CAST(sum(t_b) AS BIGINT) AS nll_background_fp FROM terms GROUP BY 1)
+           |SELECT d.doc_id AS id,
+           |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
+           |  COALESCE(per.nll_target_fp, 0) AS nll_target_fp,
+           |  COALESCE(per.nll_background_fp, 0) AS nll_background_fp,
+           |  COALESCE(per.nll_background_fp, 0) - COALESCE(per.nll_target_fp, 0) AS logw_fp,
+           |  round((COALESCE(per.nll_background_fp, 0) - COALESCE(per.nll_target_fp, 0)) / 1000000.0, 6) AS log_w
+           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin
+      },
+
+      // SemDeDup: the unrolled Lloyd chain fits on vec_id < 200 (the `vec`
+      // fixture CTE), ALL vectors assign to the fitted centroids, and the
+      // cell-blocked a.id < b.id pair scan applies the greedy drop rule
+      "q75_semantic_dedup" -> {
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH $kmeansVecCte,
+           |$kmeansCtes,
+           |cen AS (SELECT cell, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM c2),
+           |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |acell AS (SELECT id, v, cell FROM (
+           |  SELECT a.id, a.v, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY ${cos("a.v", "c.cv")} DESC, c.cell ASC) AS rk
+           |  FROM allv a CROSS JOIN cen c) t WHERE rk = 1),
+           |dup AS (SELECT b.id, count(*) AS n_dups_smaller
+           |  FROM acell a JOIN acell b ON a.cell = b.cell AND a.id < b.id
+           |  WHERE ${cos("a.v", "b.v")} >= 0.4
+           |  GROUP BY 1)
+           |SELECT c.id, c.cell,
+           |  COALESCE(d.n_dups_smaller, 0) AS n_dups_smaller,
+           |  CAST(COALESCE(d.n_dups_smaller, 0) = 0 AS INT) AS kept
+           |FROM acell c LEFT JOIN dup d ON d.id = c.id""".stripMargin
+      }
     )
   }
 }

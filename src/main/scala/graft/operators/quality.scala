@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.text
@@ -195,6 +195,145 @@ object quality {
       .select(col("id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
+  }
+
+  /**
+   * Bigram-LM perplexity scoring — the CCNet-style "score every document
+   * by a language model and threshold on perplexity" quality pass, with
+   * the KenLM stand-in being an add-one-smoothed bigram model fit on
+   * `corpus` and applied to `docs`:
+   *
+   *   p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+   *
+   * where c(w1 w2) is the corpus count of the bigram, c(w1 ·) the count of
+   * bigram occurrences starting with w1, and V the corpus vocabulary size.
+   * Unseen bigrams (scoring held-out docs) fall back to the smoothed
+   * floor; unseen contexts score 1/V. Emits one row per document:
+   * `n_bigrams`, the exact fixed-point negative log-likelihood `nll_fp`
+   * (Σ floor(−10⁶·ln p) as BIGINT — associative integer arithmetic, so
+   * the per-document sum is bit-identical at any partitioning and across
+   * engines), and `avg_nll` = nll_fp / (n_bigrams·10⁶) rounded to 6
+   * decimals (≈ ln-perplexity; callers threshold on it).
+   *
+   * Scale: the model is two count tables keyed by `dedup.contentKey`
+   * (8-byte keys, map-side partial combine — bigram strings never travel);
+   * the context table derives from the DISTINCT-bigram table (`min(w1k)`
+   * per bigram key — deterministic, unlike `first`), not from a second
+   * corpus pass. Scoring is one pass over `docs`: two shuffled joins on
+   * the narrow keys (model-sized sides — at web scale the model is
+   * data-scale, so these are honest co-partitioned joins; AQE broadcasts
+   * them while small) plus one (id)-keyed partially-combined agg. V is a
+   * single distributed count-distinct (a scalar, not a collect). The
+   * production CCNet layout — fit on a curated sample, score the 100 TB
+   * side — maps to `corpus` ≠ `docs`, where the corpus passes (one for V,
+   * one for the model) are sample-sized.
+   */
+  def lmPerplexity(corpus: DataFrame, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val (model, ctx, vSize) = lmModel(corpus, idCol, textCol)
+    val terms = lmBigrams(docs, idCol, textCol)
+      .join(model, Seq("bgk"), "left")
+      .join(ctx, Seq("w1k"), "left")
+      .select(col("id"), lmTerm(vSize).as("t"))
+    val per = terms.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("nll_fp"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_fp"), lit(0L)).as("nll_fp"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("nll_fp") / (col("n_bigrams") * lit(1000000.0)), 6))
+          .as("avg_nll"))
+  }
+
+  /** One row per bigram OCCURRENCE: (id, w1-key, bigram-key) — 8-byte
+    * `contentKey`s, the strings never leave the map side. */
+  private def lmBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = text.wordTokensCol(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), explode(
+        filter(
+          transform(col("toks"), (_, i) =>
+            when(i <= size(col("toks")) - 2,
+              struct(get(col("toks"), i).as("w1"),
+                array_join(slice(col("toks"), i + 1, lit(2)), " ").as("bg")))),
+          s => s.isNotNull)).as("p"))
+      .select(col("id"),
+        dedup.contentKey(col("p.w1")).as("w1k"),
+        dedup.contentKey(col("p.bg")).as("bgk"))
+  }
+
+  /** Fit the add-one bigram model on `corpus`: the (bgk, c) bigram-count
+    * table, the (w1k, cc) context-count table (derived from the DISTINCT-
+    * bigram table via min(w1k) — deterministic, and no second corpus
+    * pass), and the vocabulary size (one distributed count-distinct). */
+  private def lmModel(corpus: DataFrame, idCol: String,
+                      textCol: String): (DataFrame, DataFrame, Long) = {
+    val vSize = corpus
+      .select(explode(text.wordTokensCol(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val model = lmBigrams(corpus, idCol, textCol).groupBy("bgk")
+      .agg(count(lit(1)).as("c"), min(col("w1k")).as("w1k"))
+    (model.select(col("bgk"), col("c")),
+      model.groupBy("w1k").agg(sum(col("c")).as("cc")), vSize)
+  }
+
+  /** Per-occurrence fixed-point NLL term over joined (c, cc) model columns:
+    * floor(−10⁶·ln((c+1)/(cc+V))) as BIGINT — associative integer sums. */
+  private def lmTerm(vSize: Long, c: Column = col("c"), cc: Column = col("cc")): Column =
+    floor(lit(-1000000.0) * log(
+      (coalesce(c, lit(0L)) + lit(1.0)) /
+        (coalesce(cc, lit(0L)) + lit(vSize.toDouble)))).cast("long")
+
+  /**
+   * DSIR-style importance weighting for data selection (Xie et al. 2023):
+   * fit one bigram LM on a `target` sample (the distribution you want more
+   * of) and one on a `background` sample (what the raw corpus looks like),
+   * then weight every document by its log importance ratio
+   *
+   *   log w(x) = log p_target(x) − log p_background(x)
+   *            = NLL_background(x) − NLL_target(x)
+   *
+   * computed in the exact fixed-point domain (`logw_fp` = integer
+   * difference of the two per-document NLL sums — partition- and
+   * engine-invariant; `log_w` = logw_fp/10⁶ rounded to 6). A selection
+   * pass keeps the top-weight documents (or Gumbel-samples on the weight —
+   * the caller's policy).
+   *
+   * Scale: both models are sample-fit by contract (target sets are small
+   * by definition; background is a deterministic sample of the corpus);
+   * the 100 TB side — `docs` — is scanned ONCE: a single bigram pass feeds
+   * both scorings via four narrow-key joins (bigram + context per model),
+   * then one (id)-keyed partially-combined agg, exactly the lmPerplexity
+   * plan with a second model joined alongside.
+   */
+  def dsirWeights(target: DataFrame, background: DataFrame, docs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val (mT, cT, vT) = lmModel(target, idCol, textCol)
+    val (mB, cB, vB) = lmModel(background, idCol, textCol)
+    val terms = lmBigrams(docs, idCol, textCol)
+      .join(mT.withColumnRenamed("c", "c_t"), Seq("bgk"), "left")
+      .join(cT.withColumnRenamed("cc", "cc_t"), Seq("w1k"), "left")
+      .join(mB.withColumnRenamed("c", "c_b"), Seq("bgk"), "left")
+      .join(cB.withColumnRenamed("cc", "cc_b"), Seq("w1k"), "left")
+      .select(col("id"),
+        lmTerm(vT, col("c_t"), col("cc_t")).as("t_t"),
+        lmTerm(vB, col("c_b"), col("cc_b")).as("t_b"))
+    val per = terms.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("t_t")).as("nll_target_fp"),
+      sum(col("t_b")).as("nll_background_fp"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_target_fp"), lit(0L)).as("nll_target_fp"),
+        coalesce(col("nll_background_fp"), lit(0L)).as("nll_background_fp"),
+        (coalesce(col("nll_background_fp"), lit(0L)) -
+          coalesce(col("nll_target_fp"), lit(0L))).as("logw_fp"),
+        round((coalesce(col("nll_background_fp"), lit(0L)) -
+          coalesce(col("nll_target_fp"), lit(0L))) / lit(1000000.0), 6).as("log_w"))
   }
 
   /** Email pattern shared by the operator and its DuckDB oracle —

@@ -373,4 +373,50 @@ object similarity {
         .join(broadcast(pqLut(q, codebooks, subDim)), Seq("query_id", "subspace", "code")),
       qn, k, m)
   }
+
+  /**
+   * SemDeDup-style semantic deduplication: fit a k-means coarse quantizer
+   * on `fit` (the `kmeansFit` contract — a deterministic, `maxFitRows`-
+   * bounded sample), assign every vector to its nearest cluster, and
+   * within each cluster drop every vector that has a SMALLER-id neighbor
+   * with cosine ≥ `tau`. This is the standard greedy SemDeDup rule (drop j
+   * iff ∃ i < j in the same cluster with sim(i,j) ≥ τ — the paper breaks
+   * the tie by distance-to-centroid; id order is this engine's total-order
+   * tie-break, so the kept set is a pure function of content). Emits one
+   * row per input vector: (id, cell, n_dups_smaller, kept) — audits want
+   * the full record, callers filter on `kept`.
+   *
+   * Scale: the cluster blocking is what makes semantic dedup possible at
+   * 10^10 vectors — pairwise cosine runs only within a cell, so cost is
+   * Σ_c |cell_c|² instead of n². `k` must grow with n (the paper's layout:
+   * k ≈ n / desired-cluster-size) — the explicit `repartition(w, cell)`
+   * on both self-join sides pins the pair-generation width to the cell
+   * count granularity (AQE sizes that exchange by input bytes, not the
+   * quadratic fan-out — the 1-task disease, BENCH/BASELINE.md); with
+   * production k in the tens of thousands every executor holds a few
+   * cells. The id-keyed count/join tails are narrow-key shuffles with
+   * partial combine.
+   */
+  def semanticDedup(vectors: DataFrame, fit: DataFrame,
+                    idCol: String, vecCol: String,
+                    k: Int, iters: Int, tau: Double,
+                    widthHint: Int = 0): DataFrame = {
+    val cen = fitCentroidsForIvf(kmeansFit(fit, idCol, vecCol, k, iters))
+    val assigned = assignCells(vectors, cen, idCol, vecCol)
+    val w = if (widthHint > 0) widthHint
+      else vectors.sparkSession.sparkContext.defaultParallelism
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .repartition(w, col("cell"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+      .repartition(w, col("cell"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineCol(col("va"), col("vb")) >= tau)
+      .groupBy(col("id_b").as("id")).agg(count(lit(1)).as("n_dups_smaller"))
+    assigned.select(col("id"), col("cell"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        (coalesce(col("n_dups_smaller"), lit(0L)) === 0).cast("int").as("kept"))
+  }
 }

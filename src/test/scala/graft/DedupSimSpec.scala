@@ -386,4 +386,49 @@ class DedupSimSpec extends SparkSuite {
       "text", k = 3).as[(Long, Long, Long)].collect().toSet
     assert(base == reparted)
   }
+
+  // ---------------------------------------------------------------------
+  // SemDeDup semantic dedup
+  // ---------------------------------------------------------------------
+
+  private lazy val sddVecs = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),   // exact dup of 1
+    (3L, Seq(0.8f, 0.6f)),                          // same axis-side, not a dup
+    (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.0f, 1.0f)),   // exact dup of 4
+    (6L, Seq(0.6f, 0.8f)),                          // not a dup
+    (7L, Seq(1.0f, 0.0f))                           // exact dup of 1 and 2
+  ).toDF("vid", "vec")
+
+  test("semanticDedup drops greedy smaller-id near-dups within a cell") {
+    val out = similarity.semanticDedup(sddVecs, sddVecs, "vid", "vec", 2, 2, 0.95)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) == (1L to 7L).toList) // one row per input vector
+    val cells = out.map(r => r._1 -> r._2).toMap
+    // identical vectors always share a cell (same cosine to every centroid)
+    assert(cells(1L) == cells(2L) && cells(2L) == cells(7L))
+    assert(cells(4L) == cells(5L))
+    // plain-Scala twin of the greedy rule, given the operator's own cells
+    val vm = Map(1L -> (1.0, 0.0), 2L -> (1.0, 0.0), 3L -> (0.8f.toDouble, 0.6f.toDouble),
+      4L -> (0.0, 1.0), 5L -> (0.0, 1.0), 6L -> (0.6f.toDouble, 0.8f.toDouble), 7L -> (1.0, 0.0))
+    def cos(a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 * b._1 + a._2 * b._2) /
+        (math.sqrt(a._1 * a._1 + a._2 * a._2) * math.sqrt(b._1 * b._1 + b._2 * b._2))
+    for ((id, cell, n, kept) <- out) {
+      val exp = vm.keys.count(j =>
+        j < id && cells(j) == cell && cos(vm(j), vm(id)) >= 0.95)
+      assert(n == exp.toLong, s"id=$id n_dups_smaller=$n expected $exp")
+      assert(kept == (if (exp == 0) 1 else 0), s"id=$id kept=$kept")
+    }
+    // exact duplicates of a smaller id are always dropped
+    assert(out.filter(r => Set(2L, 5L, 7L)(r._1)).forall(_._4 == 0))
+    assert(out.find(_._1 == 7L).get._3 == 2L) // 7 sees both 1 and 2
+  }
+
+  test("semanticDedup is partition-invariant") {
+    def run(parts: Int) =
+      similarity.semanticDedup(sddVecs.repartition(parts), sddVecs,
+        "vid", "vec", 2, 2, 0.95)
+        .as[(Long, Int, Long, Int)].collect().toSet
+    assert(run(1) == run(5))
+  }
 }

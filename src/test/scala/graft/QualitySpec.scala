@@ -215,4 +215,87 @@ class QualitySpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  // ---------------------------------------------------------------------
+  // lmPerplexity — checked against a plain-Scala bigram-LM twin
+  // ---------------------------------------------------------------------
+
+  private lazy val lmDocs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat"),
+    (3L, "a dog and a dog and a dog"),
+    (4L, "dog"),   // 1 token: zero bigrams
+    (5L, "")       // zero tokens
+  ).toDF("doc_id", "text")
+
+  test("lmPerplexity matches the plain-Scala bigram-LM twin") {
+    val tokMap = Seq(1L -> "the cat sat on the mat", 2L -> "the cat sat",
+      3L -> "a dog and a dog and a dog", 4L -> "dog", 5L -> "")
+      .map { case (i, s) => i -> text.wordTokens(s) }.toMap
+    val allBgs = tokMap.values.toSeq.flatMap(t =>
+      t.sliding(2).filter(_.size == 2).map(p => (p.head, p.mkString(" "))))
+    val bgc = allBgs.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val ctx = allBgs.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val v = tokMap.values.flatten.toSet.size.toDouble
+    def twin(ts: Seq[String]): (Long, Long) = {
+      val terms = ts.sliding(2).filter(_.size == 2).map { p =>
+        val c = bgc(p.mkString(" "))
+        val cc = ctx(p.head)
+        math.floor(-1e6 * math.log((c + 1.0) / (cc + v))).toLong
+      }.toSeq
+      (terms.size.toLong, terms.sum)
+    }
+    val got = quality.lmPerplexity(lmDocs, lmDocs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) == (1L to 5L).toList) // one row per doc
+    for ((id, nb, nll, avg) <- got) {
+      val (enb, enll) = twin(tokMap(id))
+      assert(nb == enb, s"id=$id n_bigrams=$nb expected $enb")
+      assert(nll == enll, s"id=$id nll_fp=$nll expected $enll")
+      val eavg = if (enb == 0) 0.0 else enll.toDouble / (enb * 1e6)
+      assert(math.abs(avg - eavg) < 1e-6, s"id=$id avg_nll=$avg expected $eavg")
+    }
+    // the repetitive doc is the most predictable one with bigrams
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(3L) < byId(1L) && byId(3L) < byId(2L))
+  }
+
+  test("lmPerplexity scores unseen bigrams via the smoothed floor") {
+    val corpus = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val held = Seq((9L, "purple elephant")).toDF("doc_id", "text")
+    // V = 3 ("the cat sat"); unseen context: p = 1/V
+    val r = quality.lmPerplexity(corpus, held, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r._2 == 1L)
+    assert(r._3 == math.floor(-1e6 * math.log(1.0 / 3.0)).toLong)
+  }
+
+  test("dsirWeights equals the two-lmPerplexity composition") {
+    val target = lmDocs.filter($"doc_id" <= 2L)
+    val got = quality.dsirWeights(target, lmDocs, lmDocs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) == (1L to 5L).toList)
+    val tNll = quality.lmPerplexity(target, lmDocs, "doc_id", "text")
+      .select("id", "nll_fp").as[(Long, Long)].collect().toMap
+    val bNll = quality.lmPerplexity(lmDocs, lmDocs, "doc_id", "text")
+      .select("id", "nll_fp").as[(Long, Long)].collect().toMap
+    for ((id, _, nt, nb, lw, lwd) <- got) {
+      assert(nt == tNll(id), s"id=$id target NLL")
+      assert(nb == bNll(id), s"id=$id background NLL")
+      assert(lw == bNll(id) - tNll(id), s"id=$id logw_fp")
+      assert(math.abs(lwd - lw.toDouble / 1e6) < 1e-6)
+    }
+    // per-bigram weight favors target-like docs (1 is IN the target
+    // distribution; 3's bigrams are unseen by the target model)
+    val perBg = got.filter(_._2 > 0).map(r => r._1 -> r._5.toDouble / r._2).toMap
+    assert(perBg(1L) > perBg(3L))
+  }
+
+  test("lmPerplexity is partition-invariant (fixed-point NLL sums)") {
+    val a = quality.lmPerplexity(lmDocs, lmDocs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = quality.lmPerplexity(lmDocs.repartition(7), lmDocs.repartition(5),
+      "doc_id", "text").as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
 }
