@@ -226,6 +226,28 @@ object PlanCheck {
         planes = 32, bands = 4, threshold = 0.3)
     }
 
+    // 16. semanticDedup: the within-cell pair self-join must carry the
+    // explicit width pin on BOTH sides — same rationale as the LSH bucket
+    // join (quadratic per-cell fan-out, AQE sizes the exchange by input
+    // bytes, the 1-task disease)
+    check("semanticDedup: width-pinned cell pair join",
+      wanted = Seq("REPARTITION_BY_NUM"), execute = true) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.operators.similarity.semanticDedup(e,
+        e.filter(col("vec_id") < 200), "vec_id", "embedding", 4, 2, 0.4)
+    }
+
+    // 17. gumbelTopK: the global top-n must compile to
+    // TakeOrderedAndProject (per-partition heads + driver merge of n-row
+    // results) — a Sort + Limit pair over the full input would be the
+    // global-sort bottleneck the operator exists to avoid
+    check("gumbelTopK: top-n is TakeOrdered, never a global sort",
+      wanted = Seq("TakeOrderedAndProject"), execute = true) {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), (col("n_chars") * 1000L).as("lw"))
+      graft.operators.quality.gumbelTopK(d, "doc_id", "lw", 20, seed = 7L)
+    }
+
     // 8. Main-path: the observe() turns metric (CollectMetrics) must not
     // block the same pruning — the transcript scan under spark-submit reads
     // only (conv_id, turn_idx, text) even with the metric attached

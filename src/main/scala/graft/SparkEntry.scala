@@ -956,6 +956,16 @@ object SparkEntry {
       val docs = wide(s, t(s, dir, "documents"))
       quality.dsirWeights(docs.filter(col("source") === "src0"), docs, docs,
         "doc_id", "text")
+    }),
+
+    // --- Gumbel-top-k weighted sampling over the DSIR weights — the
+    // selection step (sampling without replacement ∝ softmax of log w);
+    // content-keyed noise, exact fixed-point keys, global top-50 ----------
+    "q77_gumbel_topk" -> ((s, dir) => {
+      val docs = wide(s, t(s, dir, "documents"))
+      val wts = quality.dsirWeights(docs.filter(col("source") === "src0"),
+        docs, docs, "doc_id", "text")
+      quality.gumbelTopK(wts, "id", "logw_fp", 50, seed = 7L)
     })
   )
 
@@ -1113,6 +1123,48 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT word, '[UNK]' AS token FROM bad)""".stripMargin
     }
+    // DSIR twin-model CTE block (q76/q77): target LM (source 'src0') +
+    // background LM (all documents), per-doc fixed-point NLLs → `wts`
+    // (id, n_bigrams, nll_target_fp, nll_background_fp, logw_fp)
+    val dsirCoreCtes = {
+      def lmCtes(pfx: String, baseName: String) =
+        s"""${pfx}bg AS (SELECT
+           |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
+           |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
+           |  FROM $baseName, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+           |${pfx}vsz AS (SELECT count(DISTINCT tok) AS v FROM
+           |  (SELECT unnest(tt) AS tok FROM $baseName)),
+           |${pfx}model AS (SELECT bgk, count(*) AS c, min(w1k) AS w1k FROM ${pfx}bg GROUP BY 1),
+           |${pfx}ctx AS (SELECT w1k, CAST(sum(c) AS BIGINT) AS cc FROM ${pfx}model GROUP BY 1)""".stripMargin
+      s"""dbase AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tt FROM documents),
+         |tbase AS (SELECT doc_id, tt FROM dbase
+         |  JOIN (SELECT doc_id FROM documents WHERE source = 'src0') USING (doc_id)),
+         |${lmCtes("t", "tbase")},
+         |${lmCtes("k", "dbase")},
+         |dbg AS (SELECT doc_id,
+         |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
+         |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
+         |  FROM dbase, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+         |dterms AS (SELECT g.doc_id,
+         |    CAST(floor(-1000000.0 * ln((COALESCE(tm.c, 0) + 1.0) / (COALESCE(tx.cc, 0) + tv.v))) AS BIGINT) AS t_t,
+         |    CAST(floor(-1000000.0 * ln((COALESCE(km.c, 0) + 1.0) / (COALESCE(kx.cc, 0) + kv.v))) AS BIGINT) AS t_b
+         |  FROM dbg g
+         |  LEFT JOIN tmodel tm ON tm.bgk = g.bgk
+         |  LEFT JOIN tctx tx ON tx.w1k = g.w1k
+         |  LEFT JOIN kmodel km ON km.bgk = g.bgk
+         |  LEFT JOIN kctx kx ON kx.w1k = g.w1k
+         |  CROSS JOIN tvsz tv CROSS JOIN kvsz kv),
+         |dper AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(t_t) AS BIGINT) AS nll_target_fp,
+         |    CAST(sum(t_b) AS BIGINT) AS nll_background_fp FROM dterms GROUP BY 1),
+         |wts AS (SELECT d.doc_id AS id,
+         |  COALESCE(dper.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(dper.nll_target_fp, 0) AS nll_target_fp,
+         |  COALESCE(dper.nll_background_fp, 0) AS nll_background_fp,
+         |  COALESCE(dper.nll_background_fp, 0) - COALESCE(dper.nll_target_fp, 0) AS logw_fp
+         |FROM documents d LEFT JOIN dper ON dper.doc_id = d.doc_id)""".stripMargin
+    }
+
     val prfSets =
       """pre0 AS (SELECT DISTINCT l_orderkey AS entity1, l_partkey AS entity2 FROM lineitem WHERE l_quantity > 45),
         |pre AS (SELECT * FROM pre0 WHERE entity1 <> entity2),
@@ -2305,44 +2357,25 @@ object SparkEntry {
       // target-model joins are LEFT (unseen bigrams/contexts hit the
       // smoothed floor); the background model covers every scored bigram
       // by construction but keeps the same COALESCE shape as the operator
-      "q76_dsir_weights" -> {
-        def lmCtes(pfx: String, baseName: String) =
-          s"""${pfx}bg AS (SELECT
-             |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
-             |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
-             |  FROM $baseName, unnest(generate_series(1, len(tt)-1)) AS u(g)),
-             |${pfx}vsz AS (SELECT count(DISTINCT tok) AS v FROM
-             |  (SELECT unnest(tt) AS tok FROM $baseName)),
-             |${pfx}model AS (SELECT bgk, count(*) AS c, min(w1k) AS w1k FROM ${pfx}bg GROUP BY 1),
-             |${pfx}ctx AS (SELECT w1k, CAST(sum(c) AS BIGINT) AS cc FROM ${pfx}model GROUP BY 1)""".stripMargin
-        s"""WITH base AS (SELECT doc_id, $toks AS tt FROM documents),
-           |tbase AS (SELECT doc_id, tt FROM base
-           |  JOIN (SELECT doc_id FROM documents WHERE source = 'src0') USING (doc_id)),
-           |${lmCtes("t", "tbase")},
-           |${lmCtes("k", "base")},
-           |bg AS (SELECT doc_id,
-           |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
-           |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
-           |  FROM base, unnest(generate_series(1, len(tt)-1)) AS u(g)),
-           |terms AS (SELECT g.doc_id,
-           |    CAST(floor(-1000000.0 * ln((COALESCE(tm.c, 0) + 1.0) / (COALESCE(tx.cc, 0) + tv.v))) AS BIGINT) AS t_t,
-           |    CAST(floor(-1000000.0 * ln((COALESCE(km.c, 0) + 1.0) / (COALESCE(kx.cc, 0) + kv.v))) AS BIGINT) AS t_b
-           |  FROM bg g
-           |  LEFT JOIN tmodel tm ON tm.bgk = g.bgk
-           |  LEFT JOIN tctx tx ON tx.w1k = g.w1k
-           |  LEFT JOIN kmodel km ON km.bgk = g.bgk
-           |  LEFT JOIN kctx kx ON kx.w1k = g.w1k
-           |  CROSS JOIN tvsz tv CROSS JOIN kvsz kv),
-           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |    CAST(sum(t_t) AS BIGINT) AS nll_target_fp,
-           |    CAST(sum(t_b) AS BIGINT) AS nll_background_fp FROM terms GROUP BY 1)
-           |SELECT d.doc_id AS id,
-           |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
-           |  COALESCE(per.nll_target_fp, 0) AS nll_target_fp,
-           |  COALESCE(per.nll_background_fp, 0) AS nll_background_fp,
-           |  COALESCE(per.nll_background_fp, 0) - COALESCE(per.nll_target_fp, 0) AS logw_fp,
-           |  round((COALESCE(per.nll_background_fp, 0) - COALESCE(per.nll_target_fp, 0)) / 1000000.0, 6) AS log_w
-           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin
+      "q76_dsir_weights" ->
+        s"""WITH $dsirCoreCtes
+           |SELECT id, n_bigrams, nll_target_fp, nll_background_fp, logw_fp,
+           |  round(logw_fp / 1000000.0, 6) AS log_w
+           |FROM wts""".stripMargin,
+
+      // Gumbel-top-k selection over the DSIR weights: u from the keyed
+      // LCG draw (+0.5 so u is strictly inside (0,1)), the noise term in
+      // the same fixed-point domain as logw_fp, global top-50 by key
+      "q77_gumbel_topk" -> {
+        val u = s"((${keyedSql(7L, Seq("CAST(id AS VARCHAR)"))}) + 0.5) / 2147483648.0"
+        s"""WITH $dsirCoreCtes,
+           |g AS (SELECT id, logw_fp,
+           |    logw_fp + CAST(floor(1000000.0 * -ln(-ln($u))) AS BIGINT) AS gumbel_fp
+           |  FROM wts),
+           |r AS (SELECT id, logw_fp, gumbel_fp,
+           |  ROW_NUMBER() OVER (ORDER BY gumbel_fp DESC, id ASC) AS rnk FROM g)
+           |SELECT id, logw_fp, gumbel_fp, CAST(rnk AS BIGINT) AS rnk
+           |FROM r WHERE rnk <= 50""".stripMargin
       },
 
       // SemDeDup: the unrolled Lloyd chain fits on vec_id < 200 (the `vec`

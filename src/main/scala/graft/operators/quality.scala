@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.text
+import graft.functions.{rnd, text}
 
 /**
  * Document-quality operators for large-scale training-data pipelines:
@@ -334,6 +334,40 @@ object quality {
           coalesce(col("nll_target_fp"), lit(0L))).as("logw_fp"),
         round((coalesce(col("nll_background_fp"), lit(0L)) -
           coalesce(col("nll_target_fp"), lit(0L))) / lit(1000000.0), 6).as("log_w"))
+  }
+
+  /**
+   * Seeded Gumbel-top-k — weighted sampling WITHOUT replacement, the
+   * selection step a DSIR pipeline runs on its importance weights: each
+   * document gets the key g = log w + Gumbel(0,1) and the n largest keys
+   * are the sample (Gumbel-max trick; selection probability follows the
+   * softmax of the weights). Deterministic and partition-invariant like
+   * every draw in this repo: the Gumbel noise derives from the
+   * content-keyed `rnd.keyed` draw (u = (draw + 0.5)/2³¹ ∈ (0,1), so
+   * −ln(−ln u) is always finite), and the key is carried in the exact
+   * fixed-point domain — `gumbel_fp` = logw_fp + floor(10⁶·(−ln(−ln u)))
+   * as BIGINT, ties broken on id ascending.
+   *
+   * `logwFpCol` is a fixed-point log-weight column (`dsirWeights.logw_fp`
+   * shaped); uniform sampling is the special case logw_fp = 0.
+   *
+   * Scale: global top-n runs as `orderBy().limit(n)` — per-partition
+   * TakeOrdered + driver merge of n-row heads, never a global sort; the
+   * rank window runs on the n selected rows only (dimension-sized).
+   */
+  def gumbelTopK(docs: DataFrame, idCol: String, logwFpCol: String,
+                 n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (rnd.keyed(seed, col("id").cast("string")) + lit(0.5)) /
+      lit(rnd.M.toDouble)
+    val keyed = docs.select(col(idCol).as("id"), col(logwFpCol).as("logw_fp"))
+      .withColumn("gumbel_fp",
+        col("logw_fp") +
+          floor(lit(1000000.0) * -log(-log(u))).cast("long"))
+    val w = Window.orderBy(col("gumbel_fp").desc, col("id").asc)
+    keyed.orderBy(col("gumbel_fp").desc, col("id").asc).limit(n)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("id", "logw_fp", "gumbel_fp", "rnk")
   }
 
   /** Email pattern shared by the operator and its DuckDB oracle —

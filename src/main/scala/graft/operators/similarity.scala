@@ -402,7 +402,12 @@ object similarity {
                     k: Int, iters: Int, tau: Double,
                     widthHint: Int = 0): DataFrame = {
     val cen = fitCentroidsForIvf(kmeansFit(fit, idCol, vecCol, k, iters))
-    val assigned = assignCells(vectors, cen, idCol, vecCol)
+    // materialized ONCE: three consumers below (both self-join sides + the
+    // full-record projection) would otherwise each re-run the assignment's
+    // broadcast-join + window over the 10^10-vector input — two extra full
+    // scans at the scale this operator exists for
+    val assigned = graft.plans.stage.materialize(
+      assignCells(vectors, cen, idCol, vecCol))
     val w = if (widthHint > 0) widthHint
       else vectors.sparkSession.sparkContext.defaultParallelism
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))

@@ -291,6 +291,30 @@ class QualitySpec extends SparkSuite {
     assert(perBg(1L) > perBg(3L))
   }
 
+  test("gumbelTopK matches the plain-Scala Gumbel-max twin") {
+    val n = 10
+    val seed = 42L
+    val df = (1L to 100L).map(i => (i, (i % 7) * 250000L - 500000L))
+      .toDF("doc_id", "lw")
+    def gumbelFp(id: Long, lw: Long): Long = {
+      val h = java.lang.Long.parseLong(md5Hex(id.toString).take(15), 16)
+      val draw = (((h + seed) % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+      val u = (draw + 0.5) / 2147483648.0
+      lw + math.floor(1e6 * -math.log(-math.log(u))).toLong
+    }
+    val expected = (1L to 100L).map(i => (i, (i % 7) * 250000L - 500000L))
+      .map { case (i, lw) => (i, lw, gumbelFp(i, lw)) }
+      .sortBy { case (i, _, g) => (-g, i) }.take(n).zipWithIndex
+      .map { case ((i, lw, g), r) => (i, lw, g, r + 1L) }.toSet
+    val got = quality.gumbelTopK(df, "doc_id", "lw", n, seed)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // partition invariance: the draw is content-keyed
+    val reparted = quality.gumbelTopK(df.repartition(7), "doc_id", "lw", n, seed)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(reparted == expected)
+  }
+
   test("lmPerplexity is partition-invariant (fixed-point NLL sums)") {
     val a = quality.lmPerplexity(lmDocs, lmDocs, "doc_id", "text")
       .as[(Long, Long, Long, Double)].collect().toSet
