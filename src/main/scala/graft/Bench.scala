@@ -217,6 +217,15 @@ object Bench {
       }
       math.max(300.0, v)
     }
+    // optional section filter for targeted re-measurement (e.g.
+    // SPARK_GRAFT_SECTIONS=scaling re-runs just the scaling blocks in a
+    // cleaner window without paying for the battery); unset = all.
+    // Tokens: battery, headline, scaling, join_linker, salt. Filtered-out
+    // sections are recorded as "(env)" in sections_skipped so an artifact
+    // from a targeted run is self-describing, never mistaken for a full one.
+    val sectionsSel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SECTIONS")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+    def wanted(s: String): Boolean = sectionsSel.forall(_.contains(s))
     def remainingSec: Double = budgetSec - elapsedSec
     // a unit starts only when the budget can absorb its estimate at the
     // sandbox's measured noise inflation (samples inflate 2-3x in bad
@@ -398,7 +407,8 @@ object Bench {
 
     // === SECTION 1: query battery (FIRST — the per-query judge surface
     // must exist even if the heavy forked sections outrun the budget) =====
-    {
+    if (!wanted("battery")) { sectionsSkipped += "battery(env)"; emit("") }
+    else {
       var failed = List.empty[String]
       // untimed warmup: session init + the two commonest codegen templates
       // (scan-project, explode+distinct+agg) — keeps even the COLD numbers
@@ -448,13 +458,21 @@ object Bench {
     System.gc()
 
     // === SECTION 2: headline throughput at full width ====================
+    var warmPrepped = false
     var fixturePrepped = false
-    val estHeadline = 180.0 // fixture prep ~90 s + one 2-rep fork ~80 s
-    if (canAfford(estHeadline)) {
-      writeFixture(sHigh, 50000, warmDir)
+    def ensureWarmFixture(): Unit = if (!warmPrepped) {
+      writeFixture(sHigh, 50000, warmDir); warmPrepped = true
+    }
+    def ensureHeadlineFixture(): Unit = if (!fixturePrepped) {
+      ensureWarmFixture()
       writeFixture(sHigh, nConvs, fixtureDir)
       syncPause()
       fixturePrepped = true
+    }
+    val estHeadline = 180.0 // fixture prep ~90 s + one 2-rep fork ~80 s
+    if (!wanted("headline")) { sectionsSkipped += "headline(env)"; emit("") }
+    else if (canAfford(estHeadline)) {
+      ensureHeadlineFixture()
       headlineOut = forkOne(cpus, fixtureDir, 2)
       if (headlineOut.nonEmpty) emit("headline")
       else { sectionsSkipped += "headline(child_failed)"; emit("") }
@@ -476,8 +494,11 @@ object Bench {
     val cpuWork = 12000000000L // ~2-4 s at 2 threads on this box
     val estScalePrep = 150.0
     var blockEst = 340.0 // first block incl. the scan-probe pair
-    if (canAfford(estScalePrep + blockEst)) {
+    if (!wanted("scaling")) { sectionsSkipped += "scaling(env)"; emit("") }
+    else if (canAfford(estScalePrep + blockEst)) {
+      ensureWarmFixture() // forked children warm on it even when headline was filtered out
       if (scaleConvs != nConvs) { writeFixture(sHigh, scaleConvs, scaleDir); syncPause() }
+      else ensureHeadlineFixture() // scaleDir == fixtureDir in that case
       cpuProbe(scaleHigh, cpuWork / 4) // JIT warm
       def runBlock(withScan: Boolean): Option[Block] = {
         val cl = cpuProbe(scaleLow, cpuWork)
@@ -521,7 +542,9 @@ object Bench {
     // runs only when block 1 reads noisy (eff outside [0.8, 1.15]).
     val maxJl = envInt("SPARK_GRAFT_JL_BLOCKS", 2)
     var jlEst = 280.0
-    if (fixturePrepped && canAfford(jlEst)) {
+    if (!wanted("join_linker")) { sectionsSkipped += "join_linker(env)"; emit("") }
+    else if (canAfford(jlEst + (if (fixturePrepped) 0.0 else 100.0))) {
+      ensureHeadlineFixture() // JL measures on the headline fixture
       def runJl(): Option[JlBlock] = {
         val l = forkOne(scaleLow, fixtureDir, 1, "pipejoin")
         val h = forkOne(scaleHigh, fixtureDir, 2, "pipejoin")
@@ -542,11 +565,7 @@ object Bench {
         }
       }
       if (jlBlocksV.isEmpty) { sectionsSkipped += "join_linker(no_complete_block)"; emit("") }
-    } else {
-      sectionsSkipped += (if (fixturePrepped) "join_linker(budget)"
-                          else "join_linker(no_fixture)")
-      emit("")
-    }
+    } else { sectionsSkipped += "join_linker(budget)"; emit("") }
 
     // === SECTION 5: salted candidate join probes =========================
     // (b) the salted candidate join on a deliberately skewed catalog: one
@@ -557,7 +576,8 @@ object Bench {
     // arm — same-window protocol as everything else. The Zipf profile pins
     // that salting does not HURT the non-degenerate case.
     val estSalt = 300.0
-    if (canAfford(estSalt)) {
+    if (!wanted("salt")) { sectionsSkipped += "salt_probes(env)"; emit("") }
+    else if (canAfford(estSalt)) {
       import org.apache.spark.sql.functions._
       val nDocs = 40000L
       val nQ = 2000L

@@ -273,6 +273,12 @@ object quality {
     val vSize = corpus
       .select(explode(text.wordTokensCol(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok"))).head().getLong(0)
+    // fail fast on an empty/token-free corpus: V = 0 would make the
+    // smoothed denominator 0 for unseen contexts — ±Inf NLL terms instead
+    // of a diagnostic
+    require(vSize > 0,
+      "lmPerplexity/dsirWeights: the LM corpus has no tokens — " +
+        "check the corpus filter (e.g. an empty target slice)")
     val model = lmBigrams(corpus, idCol, textCol).groupBy("bgk")
       .agg(count(lit(1)).as("c"), min(col("w1k")).as("w1k"))
     (model.select(col("bgk"), col("c")),
