@@ -224,7 +224,21 @@ object Bench {
     // sections are recorded as "(env)" in sections_skipped so an artifact
     // from a targeted run is self-describing, never mistaken for a full one.
     val sectionsSel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SECTIONS")
-      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .map { raw =>
+        val known = Set("battery", "headline", "scaling", "join_linker", "salt")
+        val toks = raw.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+          .map { t => if (t == "salt_probes") "salt" else t } // artifact-label alias
+          .toSet
+        // fail fast like every other env knob: a typo'd or empty filter
+        // would otherwise skip every section and exit rc 0 with an empty
+        // artifact that a scripted retry records as a completed run
+        val unknown = toks -- known
+        if (toks.isEmpty || unknown.nonEmpty) sys.error(
+          s"SPARK_GRAFT_SECTIONS must be a non-empty comma list of " +
+            s"${known.toSeq.sorted.mkString("/")}, got '$raw'" +
+            (if (unknown.nonEmpty) s" (unknown: ${unknown.mkString(", ")})" else ""))
+        toks
+      }
     def wanted(s: String): Boolean = sectionsSel.forall(_.contains(s))
     def remainingSec: Double = budgetSec - elapsedSec
     // a unit starts only when the budget can absorb its estimate at the

@@ -1127,11 +1127,16 @@ object SparkEntry {
     // background LM (all documents), per-doc fixed-point NLLs → `wts`
     // (id, n_bigrams, nll_target_fp, nll_background_fp, logw_fp)
     val dsirCoreCtes = {
-      def lmCtes(pfx: String, baseName: String) =
-        s"""${pfx}bg AS (SELECT
+      // ONE source of truth for the bigram-key extraction (w1 key +
+      // bigram key as 15-hex-digit md5 BIGINTs) — instantiated for both
+      // model fits and the scoring pass so the key scheme cannot diverge
+      def bgSelect(baseName: String, carryDoc: Boolean) =
+        s"""SELECT ${if (carryDoc) "doc_id, " else ""}
            |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
            |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
-           |  FROM $baseName, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+           |  FROM $baseName, unnest(generate_series(1, len(tt)-1)) AS u(g)""".stripMargin
+      def lmCtes(pfx: String, baseName: String) =
+        s"""${pfx}bg AS (${bgSelect(baseName, carryDoc = false)}),
            |${pfx}vsz AS (SELECT count(DISTINCT tok) AS v FROM
            |  (SELECT unnest(tt) AS tok FROM $baseName)),
            |${pfx}model AS (SELECT bgk, count(*) AS c, min(w1k) AS w1k FROM ${pfx}bg GROUP BY 1),
@@ -1141,10 +1146,7 @@ object SparkEntry {
          |  JOIN (SELECT doc_id FROM documents WHERE source = 'src0') USING (doc_id)),
          |${lmCtes("t", "tbase")},
          |${lmCtes("k", "dbase")},
-         |dbg AS (SELECT doc_id,
-         |    ('0x' || substring(md5(tt[g]), 1, 15))::BIGINT AS w1k,
-         |    ('0x' || substring(md5(array_to_string(tt[g:g+1], ' ')), 1, 15))::BIGINT AS bgk
-         |  FROM dbase, unnest(generate_series(1, len(tt)-1)) AS u(g)),
+         |dbg AS (${bgSelect("dbase", carryDoc = true)}),
          |dterms AS (SELECT g.doc_id,
          |    CAST(floor(-1000000.0 * ln((COALESCE(tm.c, 0) + 1.0) / (COALESCE(tx.cc, 0) + tv.v))) AS BIGINT) AS t_t,
          |    CAST(floor(-1000000.0 * ln((COALESCE(km.c, 0) + 1.0) / (COALESCE(kx.cc, 0) + kv.v))) AS BIGINT) AS t_b

@@ -209,11 +209,16 @@ object quality {
    * bigram occurrences starting with w1, and V the corpus vocabulary size.
    * Unseen bigrams (scoring held-out docs) fall back to the smoothed
    * floor; unseen contexts score 1/V. Emits one row per document:
-   * `n_bigrams`, the exact fixed-point negative log-likelihood `nll_fp`
+   * `n_bigrams`, the fixed-point negative log-likelihood `nll_fp`
    * (Σ floor(−10⁶·ln p) as BIGINT — associative integer arithmetic, so
-   * the per-document sum is bit-identical at any partitioning and across
-   * engines), and `avg_nll` = nll_fp / (n_bigrams·10⁶) rounded to 6
-   * decimals (≈ ln-perplexity; callers threshold on it).
+   * the per-document sum is bit-identical at ANY partitioning), and
+   * `avg_nll` = nll_fp / (n_bigrams·10⁶) rounded to 6 decimals
+   * (≈ ln-perplexity; callers threshold on it). Cross-ENGINE agreement is
+   * empirical, not provable: the per-term floor sits on a transcendental
+   * (ln implementations may differ in the last ulp; the floor flips only
+   * when −10⁶·ln p lands within ~1e-9 of an integer) — verified exact
+   * against DuckDB at both crosscheck scales, but unlike the all-integer
+   * k-means arithmetic it is not bit-identical by construction.
    *
    * Scale: the model is two count tables keyed by `dedup.contentKey`
    * (8-byte keys, map-side partial combine — bigram strings never travel);
@@ -301,9 +306,10 @@ object quality {
    *   log w(x) = log p_target(x) − log p_background(x)
    *            = NLL_background(x) − NLL_target(x)
    *
-   * computed in the exact fixed-point domain (`logw_fp` = integer
-   * difference of the two per-document NLL sums — partition- and
-   * engine-invariant; `log_w` = logw_fp/10⁶ rounded to 6). A selection
+   * computed in the fixed-point domain (`logw_fp` = integer difference of
+   * the two per-document NLL sums — partition-invariant; cross-engine
+   * agreement inherits `lmPerplexity`'s empirical-not-provable ln caveat;
+   * `log_w` = logw_fp/10⁶ rounded to 6). A selection
    * pass keeps the top-weight documents (or Gumbel-samples on the weight —
    * the caller's policy).
    *
@@ -350,9 +356,10 @@ object quality {
    * softmax of the weights). Deterministic and partition-invariant like
    * every draw in this repo: the Gumbel noise derives from the
    * content-keyed `rnd.keyed` draw (u = (draw + 0.5)/2³¹ ∈ (0,1), so
-   * −ln(−ln u) is always finite), and the key is carried in the exact
+   * −ln(−ln u) is always finite), and the key is carried in the
    * fixed-point domain — `gumbel_fp` = logw_fp + floor(10⁶·(−ln(−ln u)))
-   * as BIGINT, ties broken on id ascending.
+   * as BIGINT, ties broken on id ascending (partition-invariant; the
+   * floor-of-ln cross-engine caveat from `lmPerplexity` applies).
    *
    * `logwFpCol` is a fixed-point log-weight column (`dsirWeights.logw_fp`
    * shaped); uniform sampling is the special case logw_fp = 0.
