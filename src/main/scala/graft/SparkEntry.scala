@@ -120,10 +120,17 @@ object SparkEntry {
     }),
 
     "q07_nbest" -> ((s, dir) =>
+      // r7: the pre-dedup `.distinct()` was removed — redundant for
+      // nBest(n=1): the window keeps ONE row per from_id by the total
+      // order (score desc, to_id asc), and duplicate rows are identical
+      // triples, so the surviving row's content is unchanged. (For n>1
+      // the dedup would matter — duplicates could occupy two ranks.)
+      // Drops one full exchange of the scan (plan: 2 Exchange → 1);
+      // oracle hash unchanged (re-verified).
       align.nBest(
         t(s, dir, "lineitem").select(
           col("l_orderkey").as("from_id"), col("l_partkey").as("to_id"),
-          col("l_extendedprice").as("score")).distinct(),
+          col("l_extendedprice").as("score")),
         1)),
 
     "q16_turn_order" -> ((s, dir) => {
@@ -431,7 +438,12 @@ object SparkEntry {
       val qTok = index.postingsFromText(from, "doc_id", "text", 0, tok)
         .withColumnRenamed("class_id", "query_id")
       val post = index.postingsFromText(to, "doc_id", "text", 0, tok)
+      // r7: postings side is the bounded catalog of this query — force the
+      // broadcast so the token fan-out aggregates inside the query_id-
+      // pinned partitioning instead of shuffling at full volume (measured
+      // 143 MB at sf0.1; same argument as nes.alignOneSide)
       index.idfCandidatesFixedPoint(qTok, post, to.count(), 5,
+          broadcastPostings = Some(true),
           widthHint = s.sparkContext.defaultParallelism)
         .withColumnRenamed("rank", "rnk")
     }),
@@ -536,11 +548,18 @@ object SparkEntry {
     }),
 
     "q36_repair_onetoone" -> ((s, dir) =>
+      // r7: the pre-dedup `.distinct()` was removed — provably redundant:
+      // oneToOne's windows keep the top-1 row per entity by the total
+      // order (value desc, partner asc), and duplicate input rows are
+      // IDENTICAL triples, so the surviving row's content is the same
+      // with or without the dedup. Drops one full (e1, e2, value)
+      // exchange of the big side (plan: 3 Exchange → 2); oracle hash
+      // unchanged (re-verified).
       repair.oneToOne(
         t(s, dir, "lineitem").select(
           col("l_orderkey").cast("string").as("entity1"),
           col("l_partkey").cast("string").as("entity2"),
-          col("l_extendedprice").as("value")).distinct())),
+          col("l_extendedprice").as("value")))),
 
     // --- classic relational headliners (pushdown/agg/join sanity) -----------
     "q37_agg_baseline" -> ((s, dir) =>

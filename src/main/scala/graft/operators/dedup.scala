@@ -87,13 +87,29 @@ object dedup {
                         k: Int, threshold: Double,
                         maxDf: Long = 1000L,
                         widthHint: Int = -1): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, k)
-      .select(col("id"), contentKey(col("shingle")).as("shingle"))
+    // materialized ONCE (r7): the distinct shingle-key table has THREE
+    // consumers below (per-doc sizes, the df count, and the self-join
+    // probe), each needing a different distribution — ReuseExchange does
+    // not fire across them, and the tokenize+shingle+distinct pipeline ran
+    // three times (measured at sf0.1: 3 separate scan stages, ~60 core-s
+    // of the query's ~75). One eager materialization of the narrow
+    // (id, 8-byte key) projection replaces two full corpus scans with
+    // reads of a table that is a small multiple of the token count —
+    // exactly the guide §5 cache rule (reused AND expensive to recompute).
+    val sh = graft.plans.stage.materialize(
+      shingles(docs, idCol, textCol, k)
+        .select(col("id"), contentKey(col("shingle")).as("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // project the df column away BEFORE the width-pinned exchange and the
+    // self-join: only (shingle, id) is needed downstream (guide §2.3
+    // "project before the exchange" — the join would otherwise drag 8
+    // wasted bytes per row through the exchange, the SMJ sort and the
+    // quadratic pair fan-out)
     val rare0 = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf && col("df") >= 2),
       "shingle")
+      .select("shingle", "id")
     // pin the self-join at cluster width (-1 = defaultParallelism, 0 =
     // off): AQE sizes the exchange by its INPUT bytes, but this stage's
     // cost is the per-shingle-bucket pair EXPLOSION — quadratic in bucket
@@ -152,8 +168,31 @@ object dedup {
                     widthHint: Int = -1): DataFrame = {
     val width = if (widthHint == -1)
       docs.sparkSession.sparkContext.defaultParallelism else widthHint
-    val bands0 = minhashBands(minhashLong(docs, idCol, textCol, k, numHashes), rowsPerBand)
-      .select(col("id"), col("band"), contentKey(col("band_sig")).as("band_sig"))
+    // r7: the signature is ONE wide aggregation instead of the long-form
+    // minhashLong → minhashBands chain. The old plan exploded every
+    // (id, shingle) row numHashes ways, shuffled (id, seed, 32-char hex)
+    // rows into groupBy(id, seed), then shuffled AGAIN into
+    // groupBy(id, band) with a collect_list sort. Here the numHashes min()
+    // aggregates compute per-seed minhashes as columns with map-side
+    // partial combine — one (id)-keyed exchange carrying one narrow row
+    // per id per partition, two exchanges removed. The md5 count and the
+    // per-band ordered concat are unchanged, so the band signatures (and
+    // the pair set) are bit-identical (q22 oracle; minhashLong/
+    // minhashBands stay as the long-form operators q21 pins).
+    val mhAggs = (0 until numHashes).map { s =>
+      min(md5(concat(col("shingle"), lit("#"), lit(s)))).as(s"mh$s")
+    }
+    val sig = shingles(docs, idCol, textCol, k)
+      .groupBy("id").agg(mhAggs.head, mhAggs.tail: _*)
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val sigCols = (b * rowsPerBand until math.min((b + 1) * rowsPerBand, numHashes))
+        .map(s => col(s"mh$s"))
+      struct(lit(b).as("band"), contentKey(concat_ws(",", sigCols: _*)).as("band_sig"))
+    }
+    val bands0 = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.band_sig").as("band_sig"))
     // same bucket-explosion width pin as ngramJaccardPairs
     val bands = if (width > 0)
       bands0.repartition(width, col("band"), col("band_sig")) else bands0
@@ -185,28 +224,30 @@ object dedup {
         explode(text.wordTokensCol(normText(col(textCol)))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("w"))
       .withColumn("hx", md5(col("token")))
-    // per-bit weighted vote; nibble via strpos on the hex alphabet (conv()
-    // has no DuckDB twin; strpos does)
-    val bits = toks
-      .withColumn("bit", explode(sequence(lit(0), lit(63))))
-      .withColumn("nib",
-        (instr(lit("0123456789abcdef"),
-          col("hx").substr((col("bit") / 4).cast("int") + 1, lit(1))) - 1).cast("int"))
-      .withColumn("v",
-        when(expr("pmod(shiftright(nib, CAST(bit % 4 AS INT)), 2)") === 1, col("w"))
-          .otherwise(-col("w")))
-      .groupBy("id", "bit").agg(sum(col("v")).as("vote"))
-    bits
-      .withColumn("band", (col("bit") / 16).cast("int"))
-      .withColumn("bitval",
-        when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 16 AS INT))"))
-          .otherwise(lit(0L)))
-      .groupBy("id")
-      .agg(
-        sum(when(col("band") === 0, col("bitval")).otherwise(0L)).as("b0"),
-        sum(when(col("band") === 1, col("bitval")).otherwise(0L)).as("b1"),
-        sum(when(col("band") === 2, col("bitval")).otherwise(0L)).as("b2"),
-        sum(when(col("band") === 3, col("bitval")).otherwise(0L)).as("b3"))
+    // 64 per-bit vote sums as ONE wide aggregation (the r7 shape): the
+    // old plan exploded 64 bit-rows per (id, token) and shuffled them
+    // twice (groupBy(id, bit), then groupBy(id)) — 64× the rows and an
+    // extra exchange for arithmetic that is a per-row constant fan-out.
+    // Here each (id, token, w) row contributes to 64 sum() columns with
+    // map-side partial combine, so the one (id)-keyed shuffle carries one
+    // 64-long row per id per partition. Same integer votes (Σ±w is
+    // associative), same nibble extraction (strpos on the hex alphabet —
+    // conv() has no DuckDB twin), same bit assembly — bit-identical
+    // signatures (q24/q44 oracles).
+    val nibs = (0 until 16).map { d =>
+      (instr(lit("0123456789abcdef"), substring(col("hx"), d + 1, 1)) - 1).cast("int")
+    }
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(pmod(shiftright(nibs(j / 4), j % 4), lit(2)) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"v$j")
+    }
+    val votes = toks.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+    def band(b: Int): org.apache.spark.sql.Column =
+      (b * 16 until b * 16 + 16).map { j =>
+        when(col(s"v$j") > 0, lit(1L << (j % 16))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    votes.select(col("id"),
+      band(0).as("b0"), band(1).as("b1"), band(2).as("b2"), band(3).as("b3"))
   }
 
   /** SimHash near-dup candidate pairs via 16-bit banding: join documents

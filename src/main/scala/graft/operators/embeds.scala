@@ -58,11 +58,15 @@ object embeds {
     val qTokens = index.postingsFromText(fromLabels, "id", "label", 0, tokenizer)
       .withColumnRenamed("class_id", "query_id")
     val toPost = index.postingsFromText(toLabels, "id", "label", 0, tokenizer)
+    // r7: force the postings broadcast — catalog-dimension contract, same
+    // rationale as nes.alignOneSide (without it the token fan-out was
+    // shuffled at full volume into the (query, class) agg; measured
+    // 180.8 MB at sf0.1 — see nes.scala for the full plan argument)
     val cands = (if (fixedPointIdf)
         index.idfCandidatesFixedPoint(qTokens, toPost, d, candidateLimit,
-          widthHint = w)
+          broadcastPostings = Some(true), widthHint = w)
       else index.idfCandidates(qTokens, toPost, d, candidateLimit,
-        widthHint = w))
+        broadcastPostings = Some(true), widthHint = w))
       .select(col("query_id").as("from_id"), col("class_id").as("to_id"))
     val scored = cands
       .join(fromVecs.select(col("id").as("from_id"), col("emb").as("fv")), "from_id")

@@ -68,10 +68,41 @@ object score {
       .as[(String, String, String, String)]
       .mapPartitions { it =>
         val p = bc.value
+        // r7 per-task memo (guide §4.5 "initialise heavyweight state once
+        // per task"): candidate generation emits each label in MANY pairs
+        // (every from-label × its candidate list), and normalize +
+        // word-tokenize are regex passes — memoizing the pure per-STRING
+        // half of the kernel leaves only the per-PAIR Levenshtein/Jaccard
+        // arithmetic on the pair loop. Pure-function cache → results
+        // unchanged; bounded so a high-cardinality partition cannot
+        // balloon task memory.
+        val memo = new java.util.HashMap[String, (String, Set[String])]()
+        def prep(s: String): (String, Set[String]) = {
+          var v = memo.get(s)
+          if (v == null) {
+            if (memo.size >= 65536) memo.clear()
+            val n = text.normalize(s)
+            v = (n, text.wordTokens(n).toSet)
+            memo.put(s, v)
+          }
+          v
+        }
         it.grouped(p.batchSize).flatMap { rows =>
-          val scores = scoreBatch(p, rows.map(r => (r._3, r._4)).toArray)
-          rows.iterator.zipWithIndex.map { case (r, i) =>
-            (r._1, r._2, r._3, r._4, scores(i))
+          rows.iterator.map { r =>
+            val (na, ta) = prep(r._3)
+            val (nb, tb) = prep(r._4)
+            val s =
+              if (na == nb) 1.0
+              else {
+                val jac =
+                  if (ta.isEmpty && tb.isEmpty) 1.0
+                  else {
+                    val inter = ta.intersect(tb).size
+                    inter.toDouble / (ta.size + tb.size - inter)
+                  }
+                p.jaccardWeight * jac + p.editWeight * text.editSimilarity(na, nb)
+              }
+            (r._1, r._2, r._3, r._4, s)
           }
         }
       }

@@ -51,10 +51,114 @@ object similarity {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** Centroid tables small enough to inline as a plan literal (see
+    * `nearestCellExpr`): ~4k cells × 64 dims ≈ 2 MB of literal — cheap to
+    * analyze/ship; past this the broadcast-join assignment path is the
+    * right shape (a multi-MB literal bloats every task closure). */
+  val maxLiteralCentroids = 4096
+
+  /** Expression-form argmax over an inlined centroid matrix: appends
+    * `outCol` = the 0-based INDEX (in matrix order) of the centroid with
+    * the greatest cosine to the row's double-array column `vdCol`, ties on
+    * the SMALLEST index — exactly the `row_number over (sim desc, cell
+    * asc)` rule when the matrix is sorted by ascending cell id.
+    *
+    * This replaces a crossJoin(k rows per vector) + full-table window
+    * (one exchange + sort of the WHOLE vector table keyed by id) with a
+    * zero-shuffle pair of projections — no shuffle at all (guide §2.4).
+    *
+    * Arithmetic is bit-identical to the old per-(row, cell) cosine but
+    * restructured for cost — higher-order functions evaluate INTERPRETED
+    * (outside whole-stage codegen), so redundant traversals are real CPU:
+    *  - ‖v‖ is computed ONCE per row (`_vn` in its own projection; the
+    *    old shape recomputed it per cell) — same expression, same value;
+    *  - ‖c_i‖ is precomputed on the DRIVER with the identical left fold
+    *    (acc + x·x in element order, then sqrt) — same IEEE ops sequence
+    *    ⇒ same bits as the normCol expression;
+    *  - the k sims land in a `_sims` column in a separate projection, so
+    *    array_max + array_position read it without re-evaluating it
+    *    (CollapseProject keeps non-cheap aliases un-inlined);
+    *  - sim_i = dot(v, c_i) / (‖v‖·‖c_i‖), the exact old grouping.
+    * array_max's ordering = the window sort's (NaN greatest, nulls
+    * ignored); array_position's equality is Spark's NaN-safe `=` (NaN =
+    * NaN true, -0.0 = 0.0 true), returning the FIRST matching index = the
+    * smallest cell. The coalesce covers the all-null sims row (null
+    * vector): the window's nulls-last ordering picked the first cell
+    * there too. `guarded` selects the cosFixed zero-denominator rule
+    * (den = 0 scores 0.0, never NaN). */
+  private def withNearestIdx(df: DataFrame, vdCol: String,
+                             matD: Seq[Seq[Double]], guarded: Boolean,
+                             outCol: String): DataFrame = {
+    val n = matD.size
+    val matLit = typedLit(matD)
+    val cnLit = typedLit(matD.map(c =>
+      math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))))
+    df.withColumn("_vn", normCol(col(vdCol)))
+      .withColumn("_sims", transform(sequence(lit(0), lit(n - 1)), i => {
+        val dot = dotCol(col(vdCol), element_at(matLit, (i + 1).cast("int")))
+        val den = col("_vn") * element_at(cnLit, (i + 1).cast("int"))
+        if (guarded) when(den === 0.0, lit(0.0)).otherwise(dot / den)
+        else dot / den
+      }))
+      .withColumn(outCol,
+        coalesce(array_position(col("_sims"), array_max(col("_sims")))
+          .cast("int") - 1, lit(0)))
+      .drop("_vn", "_sims")
+  }
+
+  /** Collect a centroid table to the driver, sorted by ascending cell id:
+    * (cell ids as longs, matrix, original cell DataType). The table is
+    * BOUNDED BY CONTRACT (it was broadcast before — the collect is the
+    * same driver-memory cost the broadcast already paid), and `limit`
+    * makes the guard loud instead of an OOM. */
+  private def collectCentroids(centroids: DataFrame)
+      : (Seq[Long], Seq[Seq[Double]], org.apache.spark.sql.types.DataType) = {
+    val cellType = centroids.schema("cell").dataType
+    val rows = centroids
+      .select(col("cell").cast("long").as("cell"), toDoubleArray(col("cvec")).as("cv"))
+      .limit(maxLiteralCentroids + 1).collect()
+    require(rows.length <= maxLiteralCentroids,
+      s"assignCells: centroid table exceeds $maxLiteralCentroids rows — " +
+        "inlining it as a literal would bloat the plan; use the broadcast " +
+        "assignment path (assignCellsBroadcast) for centroid tables this big")
+    val sorted = rows.sortBy(_.getLong(0))
+    (sorted.toSeq.map(_.getLong(0)), sorted.toSeq.map(_.getSeq[Double](1)), cellType)
+  }
+
   /** Assign each vector to its nearest centroid (IVF cell). `centroids`
-    * must be small — it is broadcast. Returns input + (cell). */
+    * must be small (the same bound the previous broadcast paid). Returns
+    * input + (cell).
+    *
+    * Plan shape: ONE zero-shuffle projection — the centroid matrix is
+    * collected once (bounded, guarded) and inlined as a literal, and the
+    * per-row nearest cell is `nearestIdxExpr`. The previous shape
+    * (crossJoin(broadcast(cen)) → k rows per vector → window partitionBy
+    * id) shuffled and sorted the ENTIRE vector table by id just to pick a
+    * per-row argmax; at 10^10 vectors that exchange is the dominant cost
+    * of IVF assignment and it carries the vectors themselves. Same
+    * per-pair cosine arithmetic, same (sim desc, cell asc) tie-break —
+    * results are bit-identical (SimilaritySpec + q26/q57/q75 oracles).
+    * Centroid tables past `maxLiteralCentroids` use
+    * `assignCellsBroadcast` — the old plan, kept for the many-cells
+    * regime where a literal would bloat every task closure. */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
                   idCol: String, vecCol: String): DataFrame = {
+    val (cells, mat, cellType) = collectCentroids(centroids)
+    val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    if (cells.isEmpty)
+      return v.filter(lit(false)).withColumn("cell", lit(null).cast(cellType))
+        .select("id", "v", "cell")
+    withNearestIdx(v, "v", mat, guarded = false, "_ix")
+      .withColumn("cell",
+        element_at(typedLit(cells), (col("_ix") + 1).cast("int")).cast(cellType))
+      .select("id", "v", "cell")
+  }
+
+  /** The pre-round-7 assignment plan (crossJoin broadcast + id-keyed
+    * window): the fallback for centroid tables too big to inline as a
+    * literal. Bit-identical results to `assignCells`. */
+  def assignCellsBroadcast(vectors: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
     val cen = centroids.select(col("cell"), toDoubleArray(col("cvec")).as("cv"))
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("cell").asc)
@@ -124,42 +228,59 @@ object similarity {
         s"$iters full passes over its input — fit on a deterministic sample " +
         "(e.g. filter on pmod(conv(substring(md5(id),1,15),16,10), N) = 0) " +
         "and assign the full set afterwards, or raise maxFitRows explicitly")
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val v = vectors
       .select(col(idCol).cast("string").as("id"), toFixedPoint(col(vecCol)).as("v"))
-    // distributed top-k by content hash; the k-row window that numbers the
-    // cells runs on k rows only (bounded — not a global window over the data)
-    val wInit = Window.orderBy(col("h"), col("id"))
-    var cen = v.select(md5(col("id")).as("h"), col("id"), col("v"))
+    // distributed top-k by content hash (TakeOrdered — never a global
+    // sort), collected once: k seed rows, bounded by contract. Cells are
+    // numbered 1..k in (h, id) order, exactly the old row_number window.
+    val seeds = v.select(md5(col("id")).as("h"), col("id"), col("v"))
       .orderBy(col("h"), col("id")).limit(k)
-      .withColumn("cell", row_number().over(wInit).cast("int"))
-      .select(col("cell"), col("v").as("c"), lit(0L).as("n_assigned"))
-    val wA = Window.partitionBy("id").orderBy(col("sim").desc, col("cell").asc)
-    var it = 0
-    while (it < iters) {
-      val assigned = v.crossJoin(broadcast(cen.select(col("cell"), col("c"))))
-        .withColumn("sim", cosFixed(col("v"), col("c")))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") === 1)
-        .select("cell", "v")
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cv", expr("s div n"))
-      val newC = sums.groupBy("cell").agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          s => s.getField("cv")).as("c"),
-        max(col("n")).as("n_assigned"))
-      // k·dim rows of state per round: materialize to keep the loop's plan
-      // flat (the q39/hierarchy iterative contract)
-      cen = graft.plans.stage.materialize(
-        cen.select(col("cell"), col("c").as("c_prev"))
-          .join(newC, Seq("cell"), "left")
-          .select(col("cell"), coalesce(col("c"), col("c_prev")).as("c"),
-            coalesce(col("n_assigned"), lit(0L)).as("n_assigned")))
-      it += 1
+      .select(col("v")).collect()
+    // Driver-local Lloyd state: the centroid table is k·dim longs — the
+    // SAME driver footprint the per-round broadcast already paid. Each
+    // round is now ONE job (the (cell, pos) integer-sum agg collected to
+    // the driver, k·dim rows) instead of crossJoin(k per vector) → full
+    // id-keyed window shuffle → join → localCheckpoint: at 10^10 vectors
+    // the old shape shuffled the whole vector table once per round just
+    // to compute a per-row argmax; this shape's only per-round exchange
+    // is the (cell, pos)-keyed partial-combined agg (k·dim·width rows).
+    // Arithmetic is unchanged (fixed-point cosine, (sim desc, cell asc)
+    // tie-break via nearestIdxExpr, BIGINT sums, truncating div) — the
+    // fit is bit-identical (SimilaritySpec, q55/q57/q65/q66/q75 oracles).
+    var cen: Array[Seq[Long]] = seeds.map(_.getSeq[Long](0))
+    var nAssigned: Array[Long] = Array.fill(cen.length)(0L)
+    if (cen.nonEmpty) {
+      var it = 0
+      while (it < iters) {
+        // centroids enter as DOUBLES (long→double cast = the same values
+        // toDoubleArray produced inside the old cosFixed), with the
+        // zero-denominator guard preserved (guarded = true)
+        val matD = cen.toSeq.map(_.map(_.toDouble))
+        val sums = withNearestIdx(
+            v.withColumn("vd", toDoubleArray(col("v"))), "vd", matD,
+            guarded = true, "_ix")
+          .select((col("_ix") + 1).as("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy("cell", "pos")
+          .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+          .select(col("cell").cast("int"), col("pos"), col("s"), col("n"))
+          .as[(Int, Int, Long, Long)].collect()
+        val next = cen.clone()
+        val nNext = Array.fill(cen.length)(0L)
+        sums.groupBy(_._1).foreach { case (cell, rows) =>
+          // s div n (BIGINT) truncates toward zero — Long./ is identical
+          next(cell - 1) = rows.sortBy(_._2).toSeq.map(r => r._3 / r._4)
+          nNext(cell - 1) = rows.map(_._4).max
+        }
+        cen = next
+        nAssigned = nNext
+        it += 1
+      }
     }
-    cen.select(col("cell"), col("n_assigned"), col("c").as("centroid"))
+    spark.createDataFrame(
+      cen.toSeq.zipWithIndex.map { case (c, i) => (i + 1, nAssigned(i), c) })
+      .toDF("cell", "n_assigned", "centroid")
   }
 
   /** Fitted fixed-point centroids → the (cell, cvec: array<double>) shape
@@ -234,13 +355,21 @@ object similarity {
     requireDim(vectors, vecCol, m * subDim, "pqFitCodebooks")
     // one guard count for all m fits — the input is the same every time
     val nFit = vectors.count()
-    (0 until m).map { s =>
+    // r7: the m fits are INDEPENDENT jobs over the same input — submit
+    // them from concurrent driver threads so each fit's small per-round
+    // jobs back-fill the executors the others leave idle (guide §2.6).
+    // Each fit is deterministic on its own slice; the union order is the
+    // subspace order, unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until m).map { s => Future {
       val sub = vectors.select(col(idCol).as("id"),
         slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
       fitCentroidsForIvf(kmeansFit(sub, "id", "sv", k, iters, maxFitRows,
           preCountedRows = Some(nFit)))
         .select(lit(s).as("subspace"), col("cell"), col("cvec"))
-    }.reduce(_ union _)
+    } }.map(Await.result(_, Duration.Inf)).reduce(_ union _)
   }
 
   /**
@@ -258,16 +387,48 @@ object similarity {
   def pqEncode(vectors: DataFrame, codebooks: DataFrame,
                idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
     requireDim(vectors, vecCol, m * subDim, "pqEncode")
+    // codebooks are m·k rows by contract (they were broadcast before) —
+    // collect once and inline per-subspace matrices as literals. The
+    // encode is then ONE zero-shuffle projection: the old shape exploded
+    // every vector m ways, broadcast-joined the codebook and ran a
+    // (id, subspace)-keyed window — a full shuffle + sort of m rows per
+    // vector, carrying the sliced vectors, just to pick a per-row argmax.
+    // Same cosine arithmetic and (sim desc, cell asc) tie-break via
+    // nearestIdxExpr over ascending-cell matrices — bit-identical codes
+    // (q65/q66 oracles).
+    val cellType = codebooks.schema("cell").dataType
+    val cbRows = codebooks
+      .select(col("subspace").cast("int").as("s"), col("cell").cast("long").as("cell"),
+        toDoubleArray(col("cvec")).as("cv"))
+      .limit(maxLiteralCentroids + 1).collect()
+    require(cbRows.length <= maxLiteralCentroids,
+      s"pqEncode: codebook exceeds $maxLiteralCentroids rows — m·k codebooks " +
+        "are driver-trivial by contract; raise maxLiteralCentroids only with " +
+        "a driver sized for the bigger plan literal")
     val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .withColumn("subspace", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("sv", slice(col("v"), col("subspace") * subDim + 1, lit(subDim)))
-    val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
-    val w = Window.partitionBy("id", "subspace").orderBy(col("sim").desc, col("cell").asc)
-    v.join(broadcast(cb), Seq("subspace"))
-      .withColumn("sim", cosineCol(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("subspace"), col("cell").as("code"))
+    val bySub = cbRows.groupBy(_.getInt(0))
+    // only subspaces present in the codebook emit codes (the old join
+    // semantics); a fully empty codebook emits no rows
+    val present = bySub.keys.toSeq.sorted
+    if (present.isEmpty)
+      return v.filter(lit(false))
+        .select(col("id"), lit(0).as("subspace"), lit(null).cast(cellType).as("code"))
+    val sortedBySub = present.map(s => s -> bySub(s).sortBy(_.getLong(1)))
+    var df = v
+    sortedBySub.foreach { case (s, sorted) =>
+      df = withNearestIdx(
+        df.withColumn(s"_sv$s", slice(col("v"), s * subDim + 1, subDim)),
+        s"_sv$s", sorted.toSeq.map(_.getSeq[Double](2)),
+        guarded = false, s"_ix$s")
+        .drop(s"_sv$s")
+    }
+    val codeStructs = sortedBySub.map { case (s, sorted) =>
+      struct(lit(s).as("subspace"),
+        element_at(typedLit(sorted.toSeq.map(_.getLong(1))),
+          (col(s"_ix$s") + 1).cast("int")).cast(cellType).as("code"))
+    }
+    df.select(col("id"), explode(array(codeStructs: _*)).as("e"))
+      .select(col("id"), col("e.subspace").as("subspace"), col("e.code").as("code"))
   }
 
   /**

@@ -215,12 +215,22 @@ object Pipeline {
       val dictDs = classes.filter(col("onto") === "src")
       require(Seq("auto", "trie", "join").contains(p.linker),
         s"linker must be auto|trie|join, got ${p.linker}")
+      // r7: ONE bounded collect decides the route AND feeds the trie — the
+      // old shape paid a count() job for the guard and then a second full
+      // collect for the trie build. limit(maxDictEntities + 1) keeps the
+      // guard exactly as loud (a catalog past the bound yields max+1 rows
+      // → join route / trie require fails) while a within-bound catalog
+      // arrives complete in one job. Same guard, same dictionary, one
+      // catalog-side job fewer per run.
+      val dictBound = math.min(p.maxDictEntities + 1, Int.MaxValue.toLong).toInt
+      val collected =
+        if (p.linker == "join") Array.empty[graft.model.ClassText]
+        else dictDs.limit(dictBound).collect()
       val useJoin = p.linker == "join" ||
-        (p.linker == "auto" && dictDs.count() > p.maxDictEntities)
+        (p.linker == "auto" && collected.length > p.maxDictEntities)
       if (p.linker == "trie") {
-        val nDict = dictDs.count()
-        require(nDict <= p.maxDictEntities,
-          s"catalog has $nDict entities > maxDictEntities=${p.maxDictEntities}: " +
+        require(collected.length <= p.maxDictEntities,
+          s"catalog has > maxDictEntities=${p.maxDictEntities} entities: " +
             "the driver-side collect + broadcast-trie path would OOM the " +
             "driver; use linker=join (distributed n-gram dictionary join)")
       }
@@ -234,7 +244,7 @@ object Pipeline {
       // computes the fused scan→detect→stabilize DAG exactly once instead.
       val detected =
         if (useJoin) mentions.detectJoin(spark, turns, dictDs)
-        else mentions.detect(spark, turns, dictDs.collect().toSeq)
+        else mentions.detect(spark, turns, collected.toSeq)
       // transcript-proportional exchange at cluster width (the catalog-side
       // shuffle.partitions default is sized for tiny dimension stages)
       val m = mentions.stabilize(detected.toDF(),
@@ -315,7 +325,31 @@ object Pipeline {
       .select(explode(text.normalizeLabelsCol(col("labels"))).as("label"))
       .select(explode(text.wordTokensCol(col("label"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    vocab.vocabFrom(spark, hist, vocab.learnMerges(spark, hist, nMerges))
+    // r7: one histogram computation instead of three. learnMerges +
+    // vocabFrom each re-derived the catalog histogram (count job, collect
+    // job, base-symbol explode job — 3 scan+shuffle executions per
+    // flagship run, ×4 flagship-family queries per battery). The catalog
+    // histogram is dimension-sized by contract, so collect it ONCE behind
+    // the same maxLocalHistWords guard learnMerges applies, run the
+    // driver-local trainer (proven ≡ distributed by VocabSpec), and build
+    // the piece set from the same rows. Histograms past the guard keep
+    // the original distributed path — identical semantics, identical
+    // result (the vocab is a pure function of the histogram either way).
+    val guard = 1000000L
+    val persisted = hist.persist()
+    try {
+      val n = persisted.count()
+      if (n <= guard) {
+        import spark.implicits._
+        val rows = persisted.select(col("word").cast("string"), col("cnt").cast("long"))
+          .as[(String, Long)].collect()
+        val merges = vocab.learnMergesLocal(rows, nMerges, 2L)
+        val base = rows.iterator.flatMap(r => vocab.initSymbols(r._1)).toSet
+        base ++ merges.map(_._4)
+      } else {
+        vocab.vocabFrom(spark, persisted, vocab.learnMerges(spark, persisted, nMerges))
+      }
+    } finally persisted.unpersist(blocking = false)
   }
 
   /** Tiny flagship for the driver smoke-check (rows>0 at sf0.001-ish

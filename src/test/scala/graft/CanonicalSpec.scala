@@ -21,6 +21,25 @@ class CanonicalSpec extends SparkSuite {
     assert(out.values.toSet == Set("n01") && out.size == n)
   }
 
+  test("connectedComponents: driver-local fast path ≡ distributed loop (strings and longs)") {
+    // mixed shapes: chain, triangle, isolate pair, star
+    val eStr = (Seq(("b", "a"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"),
+      ("h", "f"), ("z1", "z9"), ("z2", "z9"), ("z3", "z9")))
+      .toDF("entity1", "entity2")
+    val local = canonical.connectedComponents(spark, eStr)
+      .as[(String, String)].collect().toMap
+    val dist = canonical.connectedComponents(spark, eStr, maxLocalEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(local == dist)
+    val eLong = Seq((2L, 1L), (2L, 3L), (10L, 11L), (100L, 11L))
+      .toDF("entity1", "entity2")
+    val localL = canonical.connectedComponents(spark, eLong)
+      .as[(Long, Long)].collect().toMap
+    val distL = canonical.connectedComponents(spark, eLong, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(localL == distL)
+  }
+
   test("canonicalize rewrites endpoints to representatives") {
     val comps = Seq(("x", "a"), ("y", "a")).toDF("id", "canonical")
     val m = Seq(("x", "y", 0.9), ("z", "x", 0.8)).toDF("entity1", "entity2", "value")

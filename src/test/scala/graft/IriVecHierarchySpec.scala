@@ -63,4 +63,24 @@ class IriVecHierarchySpec extends SparkSuite {
     val d = hierarchy.depthMax(spark, e).as[(String, Long)].collect().toMap
     assert(d("n1") == 39L && d("n40") == 0L)
   }
+
+  test("hierarchy depth: driver-local Kahn path ≡ distributed frontier loop") {
+    val e = (Seq(("a", "r"), ("b", "r"), ("c", "a"), ("c", "b"), ("d", "b"),
+      ("c", "r"), ("e", "c"), ("e", "d")) ++
+      (1 until 20).map(i => (s"n$i", s"n${i + 1}")))
+      .toDF("child_iri", "parent_iri")
+    for (longest <- Seq(true, false)) {
+      val local = hierarchy.depth(spark, e, longest)
+        .as[(String, Long)].collect().toMap
+      val dist = hierarchy.depth(spark, e, longest, maxLocalEdges = 0L)
+        .as[(String, Long)].collect().toMap
+      assert(local == dist, s"longest=$longest")
+    }
+    // cycle: Kahn cannot drain -> local path declines, distributed loop
+    // decides (cycle nodes get no depth in either)
+    val cyc = Seq(("x", "y"), ("y", "x"), ("z", "x"), ("a", "r"))
+      .toDF("child_iri", "parent_iri")
+    val d = hierarchy.depthMax(spark, cyc).as[(String, Long)].collect().toMap
+    assert(d == Map("r" -> 0L, "a" -> 1L))
+  }
 }
