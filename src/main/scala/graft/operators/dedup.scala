@@ -120,10 +120,23 @@ object dedup {
     val width = if (widthHint == -1)
       docs.sparkSession.sparkContext.defaultParallelism else widthHint
     val rare = if (width > 0) rare0.repartition(width, col("shingle")) else rare0
-    val shared = rare.as("a")
+    val joined = rare.as("a")
       .join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // width-pin the pair aggregation too (r7): the (id1, id2) count is the
+    // CPU-dense stage downstream of the explosion (measured at sf0.1:
+    // 21.7 core-s squeezed into 8 AQE-coalesced tasks — byte-based
+    // coalescing again blind to CPU density). The explicit exchange
+    // replaces the agg's own (hash(id1, id2) satisfies the clustering), so
+    // the plan trades the map-side partial combine for width — a good
+    // trade HERE because a pair's shared shingles spread across shingle-
+    // hash partitions, so the partial agg was collapsing little (measured:
+    // exchange grew 254 → 280 MB (+10%) while the agg went from 8 to
+    // `width` tasks — q23 wall 6.9 s → 3.1 s).
+    val shared = (if (width > 0) joined.repartition(width, col("id1"), col("id2"))
+      else joined)
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("id").as("id1"), col("n_shingles").as("n1")), "id1")
@@ -289,14 +302,19 @@ object dedup {
                         widthHint: Int = -1): DataFrame = {
     val width = if (widthHint == -1)
       vecs.sparkSession.sparkContext.defaultParallelism else widthHint
+    // r7: per-ROW norm computed before the pair cross (8 extra bytes
+    // through the block exchange vs three interpreted array passes per
+    // PAIR; dot/(na·nb) keeps cosineCol's exact grouping — bit-identical)
     val v0 = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       similarity.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("n", similarity.normCol(col("v")))
     // same bucket-explosion width pin as ngramJaccardPairs (the per-block
     // pair cross is quadratic in block size, the cosine is CPU-dense)
     val v = if (width > 0) v0.repartition(width, col("blk")) else v0
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", similarity.cosineCol(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        similarity.dotCol(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
   }
@@ -396,12 +414,17 @@ object dedup {
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // r7: per-ROW norm on the vector table before the verify joins (same
+    // dot/(n1·n2) grouping as cosineCol — bit-identical; one array pass
+    // per pair instead of three, see embeddingNearDups)
     val vtab = vecs.select(col(idCol).as("id"),
       similarity.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("n", similarity.normCol(col("v")))
     pairs
-      .join(vtab.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
-      .join(vtab.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
-      .withColumn("cosine", similarity.cosineCol(col("v1"), col("v2")))
+      .join(vtab.select(col("id").as("id1"), col("v").as("v1"), col("n").as("n1")), Seq("id1"))
+      .join(vtab.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("cosine",
+        similarity.dotCol(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }

@@ -174,10 +174,11 @@ object quality {
       .select(dedup.contentKey(col("shingle")).as("shk")).distinct()
       .persist()
     val nBench = benchSh.count()
-    val joined =
+    val overlap =
       if (nBench <= maxBenchShingles) {
         benchSh.unpersist(blocking = false)
         trainSh.join(broadcast(benchSh), Seq("shk"))
+          .groupBy("id").agg(count(lit(1)).as("n_overlap"))
       } else {
         System.err.println(s"[graft] decontaminate: $nBench distinct bench " +
           s"shingle keys exceed maxBenchShingles=$maxBenchShingles — " +
@@ -186,10 +187,19 @@ object quality {
           "explicitly if the broadcast is intended)")
         val w = if (widthHint > 0) widthHint
           else train.sparkSession.sparkContext.defaultParallelism
-        trainSh.repartition(w, col("shk"))
-          .join(benchSh.repartition(w, col("shk")), Seq("shk"))
+        // materialize the per-doc overlap NOW so the over-cap bench cache
+        // (>1 GB regime by definition) is released here instead of staying
+        // pinned in executor storage for the rest of the session (the
+        // returned frame otherwise keeps referencing it; r6 ADVICE).
+        // Overlap is one narrow row per train doc with >= 1 hit — the
+        // cheapest thing on this path to hold instead.
+        val m = graft.plans.stage.materialize(
+          trainSh.repartition(w, col("shk"))
+            .join(benchSh.repartition(w, col("shk")), Seq("shk"))
+            .groupBy("id").agg(count(lit(1)).as("n_overlap")))
+        benchSh.unpersist(blocking = false)
+        m
       }
-    val overlap = joined.groupBy("id").agg(count(lit(1)).as("n_overlap"))
     train.select(col(idCol).as("id"))
       .join(overlap, Seq("id"), "left")
       .select(col("id"),

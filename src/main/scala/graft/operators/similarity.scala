@@ -40,11 +40,17 @@ object similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
+    // r7: norms precomputed once per ROW on each side — higher-order
+    // functions evaluate interpreted, so cosineCol's three array passes
+    // per PAIR (dot + both norms) were 3× the necessary work; dot/(nq·nc)
+    // is the identical expression grouping, so the doubles are unchanged
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
+      .withColumn("qn", normCol(col("qv")))
     val c = candidates.select(col(idCol).as("cand_id"), toDoubleArray(col(vecCol)).as("cv"))
+      .withColumn("cn", normCol(col("cv")))
     val joined = broadcast(q).crossJoin(c)
       .filter(if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
-      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -297,13 +303,17 @@ object similarity {
    */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    // per-ROW norms ahead of the probe join (same rationale and identical
+    // arithmetic as bruteForceTopK — dot/(qn·vn) with the old grouping)
     val assigned = assignCells(candidates, centroids, idCol, vecCol)
+      .withColumn("vn", normCol(col("v")))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qv"))
     val probes = probeCells(q, centroids, nProbe)
+      .withColumn("qn", normCol(col("qv")))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
     probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cosine", cosineCol(col("qv"), col("v")))
+      .withColumn("cosine", dotCol(col("qv"), col("v")) / (col("qn") * col("vn")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("cand_id"), col("cosine"), col("rank"))
@@ -571,13 +581,18 @@ object similarity {
       assignCells(vectors, cen, idCol, vecCol))
     val w = if (widthHint > 0) widthHint
       else vectors.sparkSession.sparkContext.defaultParallelism
+    // per-ROW norms computed before the pair join (8 extra bytes through
+    // the cell exchange vs three interpreted array passes per PAIR —
+    // identical dot/(na·nb) arithmetic, see bruteForceTopK)
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .withColumn("na", normCol(col("va")))
       .repartition(w, col("cell"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("nb", normCol(col("vb")))
       .repartition(w, col("cell"))
     val dup = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineCol(col("va"), col("vb")) >= tau)
+      .filter(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
       .groupBy(col("id_b").as("id")).agg(count(lit(1)).as("n_dups_smaller"))
     assigned.select(col("id"), col("cell"))
       .join(dup, Seq("id"), "left")

@@ -234,14 +234,6 @@ object Pipeline {
             "the driver-side collect + broadcast-trie path would OOM the " +
             "driver; use linker=join (distributed n-gram dictionary join)")
       }
-      // stabilize = the per-conversation ordering window over
-      // (conv_id, turn_idx) from the BASELINE invariant. Deliberately LAZY:
-      // the mention stream has exactly ONE downstream consumer (the triples
-      // materialization), so an eager cache+count here would pay the whole
-      // computation PLUS a columnar cache build whose long-lived batches
-      // drove executor GC to >60% of run time (measured via stage metrics:
-      // 115 GC-s of 185 run-s on the count stage) — the single final action
-      // computes the fused scan→detect→stabilize DAG exactly once instead.
       val detected =
         if (useJoin) mentions.detectJoin(spark, turns, dictDs)
         else mentions.detect(spark, turns, collected.toSeq)
@@ -249,6 +241,20 @@ object Pipeline {
       // shuffle.partitions default is sized for tiny dimension stages)
       val m = mentions.stabilize(detected.toDF(),
         spark.sparkContext.defaultParallelism)
+      // stabilize = the per-conversation ordering window over
+      // (conv_id, turn_idx) from the BASELINE invariant. Deliberately LAZY
+      // — re-validated in round 7: the mention stream has exactly ONE
+      // downstream consumer (the triples materialization), and an eager
+      // in-future stage.materialize here (to overlap the 6.5 s transcript
+      // compute with the ~4.8 s serial alignment chain, guide §2.6)
+      // measured WORSE same-window (14.4 s vs 12.3 s best-of-reps): the
+      // store + re-read of ~12M materialized mention rows adds a full
+      // memory-traffic pass, and the mention job's 32-wide stages starve
+      // the alignment chain's small jobs under FIFO — the overlap buys
+      // less than the materialization costs. (Round 6 had already
+      // rejected the eager `.cache()+count` variant: columnar build + GC.)
+      // The single final action computes the fused scan→detect→stabilize
+      // DAG exactly once instead.
       mark("mentions planned")
       m
     }

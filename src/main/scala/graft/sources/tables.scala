@@ -171,9 +171,14 @@ object tables {
     * parallelizes across classes, multiple files across files) → column
     * regexes.
     *
-    * Anonymous-parent handling (owlready2's `is_a` walk surfaces these,
-    * onto_box.py:154-161; a named-resource-only scan under-generates
-    * sibling hard-negatives and extension hops on real OAEI files):
+    * Anonymous-parent handling — a DELIBERATE entailment-sound superset
+    * of the reference's extraction: the reference's super_classes walk
+    * (onto_box.py:155-161) keeps only named ThingClass parents and
+    * filters And/Restriction constructs, so it never emits the
+    * intersection-operand or blank-node-chain edges below; we add them
+    * because every added edge is entailed (C ⊑ A ⊓ B ⊨ C ⊑ A) and a
+    * named-only scan under-generates sibling hard-negatives and extension
+    * hops on real OAEI files:
     *  - `<rdfs:subClassOf rdf:resource="X"/>` — direct named parent;
     *  - `<rdfs:subClassOf><owl:Class rdf:about="X"/>…` — nested named
     *    class refs (incl. intersectionOf operands: C ⊑ A ⊓ B entails

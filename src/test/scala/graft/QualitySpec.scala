@@ -132,13 +132,21 @@ class QualitySpec extends SparkSuite {
     val broadcastPath = quality.decontaminate(train, bench, "doc_id", "text", 3, 2L)
       .orderBy("id").collect().toSeq
     // cap of 1 forces the width-pinned shuffled join; results must be
-    // identical, and the fallback plan must not broadcast the bench set
+    // identical. Since r7 the fallback materializes the per-doc overlap
+    // eagerly (inside decontaminate) and RELEASES the over-cap bench-
+    // shingle cache — the returned frame's plan therefore shows the
+    // checkpoint scan rather than the join, and the meaningful assertions
+    // are (a) value equality with the broadcast path and (b) no cached
+    // RDD left pinned by the call (the r6 ADVICE leak).
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val fallback = quality.decontaminate(train, bench, "doc_id", "text", 3, 2L,
       maxBenchShingles = 1L, widthHint = 4)
     assert(fallback.orderBy("id").collect().toSeq == broadcastPath)
-    val plan = fallback.queryExecution.executedPlan.toString
-    assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("hashpartitioning"),
-      s"fallback join lost its width pin:\n$plan")
+    // exactly ONE new persistent entry may remain: the overlap's own
+    // localCheckpoint blocks (released when the frame is GC'd). A pinned
+    // bench-shingle cache on top would make it two — the r6 ADVICE leak.
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore + 1,
+      "decontaminate fallback left its bench-shingle cache pinned")
   }
 
   // ---------------------------------------------------------------------
