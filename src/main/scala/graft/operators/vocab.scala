@@ -208,9 +208,14 @@ object vocab {
                   maxLocalHistWords: Long = 1000000L): DataFrame = {
     import spark.implicits._
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
-    if (hist.count() <= maxLocalHistWords) {
-      val rows = hist.select(col("word").cast("string"), col("cnt").cast("long"))
-        .as[(String, Long)].collect()
+    // r7: ONE bounded limit(guard+1).collect() replaces the count job +
+    // full collect — within the guard the limit returns the complete
+    // histogram (the maxDictEntities-collect pattern); past it the extra
+    // row routes to the distributed loop, guard exactly as loud
+    val rows = hist.select(col("word").cast("string"), col("cnt").cast("long"))
+      .limit(math.min(maxLocalHistWords + 1, Int.MaxValue.toLong).toInt)
+      .as[(String, Long)].collect()
+    if (rows.length <= maxLocalHistWords) {
       return learnMergesLocal(rows, nMerges, minCount)
         .toDF("merge_ord", "left", "right", "merged", "pair_count")
     }

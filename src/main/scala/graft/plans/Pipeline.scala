@@ -331,31 +331,30 @@ object Pipeline {
       .select(explode(text.normalizeLabelsCol(col("labels"))).as("label"))
       .select(explode(text.wordTokensCol(col("label"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    // r7: one histogram computation instead of three. learnMerges +
-    // vocabFrom each re-derived the catalog histogram (count job, collect
-    // job, base-symbol explode job — 3 scan+shuffle executions per
-    // flagship run, ×4 flagship-family queries per battery). The catalog
-    // histogram is dimension-sized by contract, so collect it ONCE behind
-    // the same maxLocalHistWords guard learnMerges applies, run the
-    // driver-local trainer (proven ≡ distributed by VocabSpec), and build
-    // the piece set from the same rows. Histograms past the guard keep
-    // the original distributed path — identical semantics, identical
-    // result (the vocab is a pure function of the histogram either way).
+    // r7: one histogram JOB instead of five. learnMerges + vocabFrom each
+    // re-derived the catalog histogram (count job, collect job,
+    // base-symbol explode job per flagship run, ×4 flagship-family
+    // queries per battery). The catalog histogram is dimension-sized by
+    // contract, so ONE bounded limit(guard+1).collect() both enforces the
+    // same maxLocalHistWords guard learnMerges applies AND delivers the
+    // complete histogram when within it (limit past the actual size
+    // returns everything — the maxDictEntities-collect pattern); the
+    // driver-local trainer (proven ≡ distributed by VocabSpec) and the
+    // base piece set then derive from the same rows. Histograms past the
+    // guard keep the original distributed path — identical semantics,
+    // identical result (the vocab is a pure function of the histogram).
     val guard = 1000000L
-    val persisted = hist.persist()
-    try {
-      val n = persisted.count()
-      if (n <= guard) {
-        import spark.implicits._
-        val rows = persisted.select(col("word").cast("string"), col("cnt").cast("long"))
-          .as[(String, Long)].collect()
-        val merges = vocab.learnMergesLocal(rows, nMerges, 2L)
-        val base = rows.iterator.flatMap(r => vocab.initSymbols(r._1)).toSet
-        base ++ merges.map(_._4)
-      } else {
-        vocab.vocabFrom(spark, persisted, vocab.learnMerges(spark, persisted, nMerges))
-      }
-    } finally persisted.unpersist(blocking = false)
+    import spark.implicits._
+    val rows = hist.select(col("word").cast("string"), col("cnt").cast("long"))
+      .limit(math.min(guard + 1, Int.MaxValue.toLong).toInt)
+      .as[(String, Long)].collect()
+    if (rows.length <= guard) {
+      val merges = vocab.learnMergesLocal(rows, nMerges, 2L)
+      val base = rows.iterator.flatMap(r => vocab.initSymbols(r._1)).toSet
+      base ++ merges.map(_._4)
+    } else {
+      vocab.vocabFrom(spark, hist, vocab.learnMerges(spark, hist, nMerges))
+    }
   }
 
   /** Tiny flagship for the driver smoke-check (rows>0 at sf0.001-ish
