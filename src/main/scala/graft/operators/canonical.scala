@@ -70,6 +70,11 @@ object canonical {
     val fastLt = localLt(e.schema("a").dataType)
     if (fastLt.isDefined && e.count() <= maxLocalEdges) {
       val lt = fastLt.get
+      val rows = e.collect()
+      // null endpoints take the distributed loop (its joins define the
+      // null semantics; a local comparator on null would NPE)
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return connectedComponentsLoop(spark, e, maxIter)
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x
@@ -78,7 +83,7 @@ object canonical {
         while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      e.collect().foreach { row =>
+      rows.foreach { row =>
         val a = row.get(0)
         val b = row.get(1)
         if (!parent.containsKey(a)) parent.put(a, a)
@@ -99,6 +104,15 @@ object canonical {
       }
       return spark.createDataFrame(out, schema)
     }
+    connectedComponentsLoop(spark, e, maxIter)
+  }
+
+  /** The distributed pointer-jumping loop over a materialized, double-
+    * sided, distinct (a, b) edge list — the 100 TB path (and the null-id /
+    * unsupported-id-type fallback of the local fast path above). */
+  private def connectedComponentsLoop(spark: SparkSession, e0: DataFrame,
+                                      maxIter: Int): DataFrame = {
+    var e = e0
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("canonical", col("id"))
       .materialize

@@ -90,6 +90,9 @@ object hierarchy {
     }
     if (!supported || e.count() > maxLocalEdges) return None
     val rows = e.collect()
+    // null endpoints take the distributed loop (its joins define the null
+    // semantics)
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     import scala.collection.mutable
     val children = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
     val nParents = new mutable.HashMap[Any, Int]()

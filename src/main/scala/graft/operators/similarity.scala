@@ -90,7 +90,7 @@ object similarity {
     * NaN true, -0.0 = 0.0 true), returning the FIRST matching index = the
     * smallest cell. The coalesce covers the all-null sims row (null
     * vector): the window's nulls-last ordering picked the first cell
-    * there too. `guarded` selects the cosFixed zero-denominator rule
+    * there too. `guarded` selects the fixed-point cosine zero-denominator rule
     * (den = 0 scores 0.0, never NaN). */
   private def withNearestIdx(df: DataFrame, vdCol: String,
                              matD: Seq[Seq[Double]], guarded: Boolean,
@@ -113,22 +113,19 @@ object similarity {
   }
 
   /** Collect a centroid table to the driver, sorted by ascending cell id:
-    * (cell ids as longs, matrix, original cell DataType). The table is
-    * BOUNDED BY CONTRACT (it was broadcast before — the collect is the
-    * same driver-memory cost the broadcast already paid), and `limit`
-    * makes the guard loud instead of an OOM. */
+    * Some(cell ids as longs, matrix) — or None when the table exceeds
+    * `maxLiteralCentroids` (the `limit` bounds the probe itself, so an
+    * over-bound table costs max+1 rows, never an OOM) and the caller
+    * should take the broadcast path instead. The within-bound collect is
+    * the same driver-memory cost the broadcast already paid. */
   private def collectCentroids(centroids: DataFrame)
-      : (Seq[Long], Seq[Seq[Double]], org.apache.spark.sql.types.DataType) = {
-    val cellType = centroids.schema("cell").dataType
+      : Option[(Seq[Long], Seq[Seq[Double]])] = {
     val rows = centroids
       .select(col("cell").cast("long").as("cell"), toDoubleArray(col("cvec")).as("cv"))
       .limit(maxLiteralCentroids + 1).collect()
-    require(rows.length <= maxLiteralCentroids,
-      s"assignCells: centroid table exceeds $maxLiteralCentroids rows — " +
-        "inlining it as a literal would bloat the plan; use the broadcast " +
-        "assignment path (assignCellsBroadcast) for centroid tables this big")
+    if (rows.length > maxLiteralCentroids) return None
     val sorted = rows.sortBy(_.getLong(0))
-    (sorted.toSeq.map(_.getLong(0)), sorted.toSeq.map(_.getSeq[Double](1)), cellType)
+    Some((sorted.toSeq.map(_.getLong(0)), sorted.toSeq.map(_.getSeq[Double](1))))
   }
 
   /** Assign each vector to its nearest centroid (IVF cell). `centroids`
@@ -148,17 +145,22 @@ object similarity {
     * `assignCellsBroadcast` — the old plan, kept for the many-cells
     * regime where a literal would bloat every task closure. */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
-                  idCol: String, vecCol: String): DataFrame = {
-    val (cells, mat, cellType) = collectCentroids(centroids)
-    val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-    if (cells.isEmpty)
-      return v.filter(lit(false)).withColumn("cell", lit(null).cast(cellType))
-        .select("id", "v", "cell")
-    withNearestIdx(v, "v", mat, guarded = false, "_ix")
-      .withColumn("cell",
-        element_at(typedLit(cells), (col("_ix") + 1).cast("int")).cast(cellType))
-      .select("id", "v", "cell")
-  }
+                  idCol: String, vecCol: String): DataFrame =
+    collectCentroids(centroids) match {
+      case Some((cells, mat)) =>
+        val cellType = centroids.schema("cell").dataType
+        val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+        if (cells.isEmpty)
+          v.filter(lit(false)).withColumn("cell", lit(null).cast(cellType))
+            .select("id", "v", "cell")
+        else
+          withNearestIdx(v, "v", mat, guarded = false, "_ix")
+            .withColumn("cell",
+              element_at(typedLit(cells), (col("_ix") + 1).cast("int")).cast(cellType))
+            .select("id", "v", "cell")
+      case None => // many-cells regime: the literal would bloat the plan
+        assignCellsBroadcast(vectors, centroids, idCol, vecCol)
+    }
 
   /** The pre-round-7 assignment plan (crossJoin broadcast + id-keyed
     * window): the fallback for centroid tables too big to inline as a
@@ -188,13 +190,6 @@ object similarity {
   def toFixedPoint(c: Column, scale: Long = 1000000L): Column =
     transform(c, x => floor(x.cast("double") * scale).cast("long"))
 
-  private def cosFixed(a: Column, b: Column): Column = {
-    val ad = toDoubleArray(a)
-    val bd = toDoubleArray(b)
-    val den = normCol(ad) * normCol(bd)
-    when(den === 0.0, lit(0.0)).otherwise(dotCol(ad, bd) / den)
-  }
-
   /**
    * Deterministic Lloyd's k-means over an embedding column, the centroid
    * *fit* feeding `ivfTopK`:
@@ -205,8 +200,9 @@ object similarity {
    *   - exactly `iters` assign/update rounds (no convergence test — a
    *     fixed iteration count is what makes the oracle's unrolled-SQL twin
    *     and cross-run determinism possible, the q39 pattern);
-   *   - assignment broadcasts the k-row centroid table and breaks cosine
-   *     ties on cell ascending; update is an integer mean per (cell,
+   *   - assignment evaluates the k-row centroid table as an inlined
+   *     literal argmax (r7 — ties on cell ascending, the guarded
+   *     zero-denominator cosine); update is an integer mean per (cell,
    *     element) — BIGINT sum, truncating div — reassembled in element
    *     order; empty cells keep their previous centroid.
    *
@@ -411,10 +407,10 @@ object similarity {
       .select(col("subspace").cast("int").as("s"), col("cell").cast("long").as("cell"),
         toDoubleArray(col("cvec")).as("cv"))
       .limit(maxLiteralCentroids + 1).collect()
-    require(cbRows.length <= maxLiteralCentroids,
-      s"pqEncode: codebook exceeds $maxLiteralCentroids rows — m·k codebooks " +
-        "are driver-trivial by contract; raise maxLiteralCentroids only with " +
-        "a driver sized for the bigger plan literal")
+    // codebooks past the literal bound (large m·k configurations) keep the
+    // pre-r7 broadcast-join + window shape — slower but any-size-safe
+    if (cbRows.length > maxLiteralCentroids)
+      return pqEncodeBroadcast(vectors, codebooks, idCol, vecCol, m, subDim)
     val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
     val bySub = cbRows.groupBy(_.getInt(0))
     // only subspaces present in the codebook emit codes (the old join
@@ -439,6 +435,23 @@ object similarity {
     }
     df.select(col("id"), explode(array(codeStructs: _*)).as("e"))
       .select(col("id"), col("e.subspace").as("subspace"), col("e.code").as("code"))
+  }
+
+  /** The pre-round-7 encode plan (explode × m → broadcast codebook join →
+    * (id, subspace)-keyed window): the fallback for codebooks too big to
+    * inline as a literal. Bit-identical results to `pqEncode`. */
+  def pqEncodeBroadcast(vectors: DataFrame, codebooks: DataFrame,
+                        idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("subspace", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sv", slice(col("v"), col("subspace") * subDim + 1, lit(subDim)))
+    val cb = codebooks.select(col("subspace"), col("cell"), toDoubleArray(col("cvec")).as("cv"))
+    val w = Window.partitionBy("id", "subspace").orderBy(col("sim").desc, col("cell").asc)
+    v.join(broadcast(cb), Seq("subspace"))
+      .withColumn("sim", cosineCol(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("subspace"), col("cell").as("code"))
   }
 
   /**

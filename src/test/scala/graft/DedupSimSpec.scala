@@ -120,6 +120,34 @@ class DedupSimSpec extends SparkSuite {
     assert(out(2L) == 1 && out(3L) == 2)
   }
 
+  test("assignCells literal-argmax path ≡ broadcast-window path (incl. ties)") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.7f, 0.7f)), // exact tie vs both centroids
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.6f, 0.8f))
+    ).toDF("vid", "vec")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val lit = similarity.assignCells(vecs, centroids, "vid", "vec")
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val bc = similarity.assignCellsBroadcast(vecs, centroids, "vid", "vec")
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(lit == bc)
+    assert(lit(2L) == 0L) // tie-break: smallest cell
+  }
+
+  test("pqEncode literal path ≡ broadcast-window path") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (2L, Seq(0.9f, 0.1f, 0.2f, 0.8f)),
+      (3L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), (4L, Seq(0.1f, 0.9f, 0.7f, 0.3f))
+    ).toDF("vid", "vec")
+    val cb = similarity.pqFitCodebooks(vecs, "vid", "vec", 2, 2, 2, 2)
+    val lit = similarity.pqEncode(vecs, cb, "vid", "vec", 2, 2)
+      .as[(Long, Int, Int)].collect().toSet
+    val bc = similarity.pqEncodeBroadcast(vecs, cb, "vid", "vec", 2, 2)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(lit == bc && lit.size == 8)
+  }
+
   test("ivfTopK probes nearest cells and matches brute force on clean clusters") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(0.9f, 0.1f)),
